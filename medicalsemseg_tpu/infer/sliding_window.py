@@ -1,0 +1,190 @@
+"""Gaussian-blended sliding-window inference as one device program.
+
+Re-design of the reference's forked MONAI inferer
+(reference: engine/utils.py:19-159):
+
+  * the window grid is computed host-side from **static** shapes and baked
+    into the compiled program (the reference materializes Python slice lists
+    per call);
+  * the whole predict-and-blend loop is a `lax.scan` over window batches with
+    `dynamic_slice` gathers and read-modify-write `dynamic_update_slice`
+    accumulation — no host round-trips between windows;
+  * the Gaussian importance map is an analytic separable product computed once
+    as a constant (the reference runs a GaussianFilter over an impulse each
+    call, engine/utils.py:113-115); blending is invariant to its global scale
+    since the final division by the count map cancels it;
+  * window-center coordinates (normalized) and the affine are passed to the
+    predictor as the reference's tuple contract (engine/utils.py:126-135).
+
+One compilation per (volume shape, roi, overlap, sw_batch) — the data layer
+buckets volumes into canonical padded shapes to bound recompiles.
+"""
+
+from __future__ import annotations
+
+import functools
+import itertools
+import math
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Tuple3 = Tuple[int, int, int]
+
+
+def scan_interval(image_size: Tuple3, roi_size: Tuple3,
+                  overlap: float) -> Tuple3:
+    """MONAI _get_scan_interval semantics (reference: engine/utils.py:105)."""
+    out = []
+    for i in range(3):
+        if roi_size[i] == image_size[i]:
+            out.append(roi_size[i])
+        else:
+            out.append(max(int(roi_size[i] * (1.0 - overlap)), 1))
+    return tuple(out)
+
+
+def dense_patch_starts(image_size: Tuple3, roi_size: Tuple3,
+                       interval: Tuple3) -> np.ndarray:
+    """All window start coordinates, clamped to stay in bounds
+    (MONAI dense_patch_slices; reference: engine/utils.py:108)."""
+    per_dim = []
+    for d in range(3):
+        if interval[d] == 0:
+            per_dim.append([0])
+            continue
+        n = int(math.ceil((image_size[d] - roi_size[d]) / interval[d])) + 1
+        starts = []
+        for idx in range(n):
+            s = idx * interval[d]
+            s -= max(s + roi_size[d] - image_size[d], 0)
+            starts.append(s)
+        per_dim.append(starts)
+    return np.asarray(list(itertools.product(*per_dim)), dtype=np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def gaussian_importance_map(roi_size: Tuple3, sigma_scale: float = 0.125) -> np.ndarray:
+    """Separable Gaussian blending weights over a window (fp32, max 1.0).
+
+    Center at size//2 and sigma = sigma_scale * size per axis, following MONAI
+    compute_importance_map (reference: engine/utils.py:113-115). Clamped to
+    the smallest positive value like MONAI to avoid zero weights at corners.
+    """
+    axes = []
+    for s in roi_size:
+        x = np.arange(s, dtype=np.float64)
+        sigma = sigma_scale * s
+        axes.append(np.exp(-0.5 * ((x - s // 2) / sigma) ** 2))
+    g = axes[0][:, None, None] * axes[1][None, :, None] * axes[2][None, None, :]
+    g = g / g.max()
+    g = np.maximum(g, max(g[g > 0].min(), 1e-3))
+    return g.astype(np.float32)
+
+
+def constant_importance_map(roi_size: Tuple3) -> np.ndarray:
+    return np.ones(roi_size, dtype=np.float32)
+
+
+def sliding_window_inference(
+    inputs: jnp.ndarray,
+    affine: jnp.ndarray,
+    roi_size: Tuple3,
+    sw_batch_size: int,
+    predictor: Callable,
+    overlap: float = 0.25,
+    mode: str = "constant",
+    sigma_scale: float = 0.125,
+    cval: float = 0.0,
+    n_classes: Optional[int] = None,
+) -> jnp.ndarray:
+    """inputs (B, D, H, W, C) -> blended logits (B, D, H, W, n_classes).
+
+    ``predictor((windows, centers, affine))`` maps (N, *roi, C) windows to
+    (N, *roi, n_classes). All shapes static; jit-safe end to end.
+    """
+    b, d0, h0, w0, c = inputs.shape
+    roi = tuple(roi_size)
+
+    # pad input symmetrically up to roi (reference: engine/utils.py:98-103)
+    pads = []
+    for i, dim in enumerate((d0, h0, w0)):
+        diff = max(roi[i] - dim, 0)
+        pads.append((diff // 2, diff - diff // 2))
+    image_size = tuple(max((d0, h0, w0)[i], roi[i]) for i in range(3))
+    x = jnp.pad(inputs, ((0, 0), *pads, (0, 0)), constant_values=cval)
+
+    interval = scan_interval(image_size, roi, overlap)
+    starts = dense_patch_starts(image_size, roi, interval)  # (N, 3)
+    n_win = len(starts)
+
+    imap = (gaussian_importance_map(roi, sigma_scale) if mode == "gaussian"
+            else constant_importance_map(roi))
+    imap = jnp.asarray(imap)[..., None]  # (*roi, 1)
+
+    # normalized window centers (reference: engine/utils.py:126-132)
+    centers_np = np.stack([
+        (starts[:, i] + roi[i] - roi[i] // 2) / image_size[i] for i in range(3)
+    ], axis=1).astype(np.float32)
+
+    sw = sw_batch_size
+    n_batches = math.ceil(n_win / sw)
+    pad_n = n_batches * sw - n_win
+    starts_p = np.concatenate([starts, np.repeat(starts[-1:], pad_n, 0)], 0)
+    centers_p = np.concatenate([centers_np, np.repeat(centers_np[-1:], pad_n, 0)], 0)
+    valid_p = np.concatenate([np.ones(n_win, np.float32),
+                              np.zeros(pad_n, np.float32)])
+
+    starts_dev = jnp.asarray(starts_p.reshape(n_batches, sw, 3))
+    centers_dev = jnp.asarray(centers_p.reshape(n_batches, sw, 3))
+    valid_dev = jnp.asarray(valid_p.reshape(n_batches, sw))
+
+    def gather_window(vol, s):
+        return jax.lax.dynamic_slice(vol, (s[0], s[1], s[2], 0), roi + (c,))
+
+    def run_batch_b(vol_b, aff_b, out_b, cnt_b, sbatch, cbatch, vbatch):
+        """One sw-batch for one input volume (no batch dim)."""
+        wins = jax.vmap(lambda s: gather_window(vol_b, s))(sbatch)  # (sw, *roi, c)
+        aff_rep = jnp.broadcast_to(aff_b, (sw, 3))
+        probs = predictor((wins, cbatch, aff_rep))  # (sw, *roi, n_cls)
+        probs = probs.astype(jnp.float32)
+
+        def accumulate(i, carry):
+            out, cnt = carry
+            s = sbatch[i]
+            wgt = imap * vbatch[i]
+            idx = (s[0], s[1], s[2], 0)
+            nc = out.shape[-1]
+            cur_o = jax.lax.dynamic_slice(out, idx, roi + (nc,))
+            cur_c = jax.lax.dynamic_slice(cnt, idx, roi + (1,))
+            out = jax.lax.dynamic_update_slice(out, cur_o + wgt * probs[i], idx)
+            cnt = jax.lax.dynamic_update_slice(cnt, cur_c + wgt, idx)
+            return out, cnt
+
+        return jax.lax.fori_loop(0, sw, accumulate, (out_b, cnt_b))
+
+    def infer_one(vol_b, aff_b):
+        nc_probe = n_classes
+        assert nc_probe is not None, "n_classes must be provided"
+        out0 = jnp.zeros(image_size + (nc_probe,), jnp.float32)
+        cnt0 = jnp.zeros(image_size + (1,), jnp.float32)
+
+        def body(carry, batch_idx):
+            out, cnt = carry
+            out, cnt = run_batch_b(vol_b, aff_b, out, cnt,
+                                   starts_dev[batch_idx],
+                                   centers_dev[batch_idx],
+                                   valid_dev[batch_idx])
+            return (out, cnt), None
+
+        (out, cnt), _ = jax.lax.scan(body, (out0, cnt0),
+                                     jnp.arange(n_batches))
+        return out / cnt
+
+    result = jax.vmap(infer_one)(x, affine)  # (B, *image_size, n_cls)
+
+    # crop the roi padding back off (reference: engine/utils.py:153-159)
+    sl = tuple(slice(pads[i][0], pads[i][0] + (d0, h0, w0)[i]) for i in range(3))
+    return result[(slice(None),) + sl]

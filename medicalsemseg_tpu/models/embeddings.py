@@ -1,0 +1,226 @@
+"""Patch / positional / intensity-class embeddings.
+
+References into /root/reference:
+  * PatchEmbed3D: models/blocks/patch_embeddings.py:86-133
+  * LearnedClassVectors: models/blocks/class_embeddings.py:52-278
+  * 3D sin-cos position embedding: utils/pos_embed.py:14-51 (the reference
+    declares but never imports it, so --abs_pos_emb crashes there; fixed here)
+
+TPU-first notes: the reference assigns per-voxel class vectors with chains of
+``torch.where`` interval tests (class_embeddings.py:161-173).  Interval
+membership is just ``searchsorted`` — one vectorized comparison against a tiny
+constant table followed by a table gather, which XLA lowers to a select tree
+on the VPU.  All pooling over patch voxels is a single reshape+sum.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from medicalsemseg_tpu.models.layers import LayerNorm, trunc_normal_init
+
+Dtype = Any
+
+# Hounsfield-unit interval tables (reference: models/blocks/class_embeddings.py:9-48)
+HU_INTENSITY_INTERVALS_LC = np.array(
+    [-1000, -650, -250, -75, -30, 0, 15, 30, 60, 100, 450, 1000], dtype=np.float64)
+HU_INTENSITY_INTERVALS = np.array(
+    [-1000, -900, -400, -100, -50, -10, 20, 40, 60, 100, 800, 1000], dtype=np.float64)
+
+
+def scale_intensity_range(x, a_min: float, a_max: float, b_min: float = 0.0,
+                          b_max: float = 1.0, clip: bool = True):
+    """MONAI ScaleIntensityRange semantics (used for the LCV interval table,
+    reference: models/model_builder.py:16-32)."""
+    y = (x - a_min) / (a_max - a_min) * (b_max - b_min) + b_min
+    if clip:
+        y = np.clip(y, b_min, b_max) if isinstance(y, np.ndarray) else jnp.clip(y, b_min, b_max)
+    return y
+
+
+def scale_intensity_range_percentiles(x, lower: float = 5.0, upper: float = 95.0,
+                                      b_min: float = 0.0, b_max: float = 1.0,
+                                      clip: bool = True):
+    """MONAI ScaleIntensityRangePercentiles(relative=False) semantics."""
+    xp = np.asarray(x)
+    a_min = np.percentile(xp, lower)
+    a_max = np.percentile(xp, upper)
+    return scale_intensity_range(x, float(a_min), float(a_max), b_min, b_max, clip)
+
+
+def get_1d_sincos_pos_embed_from_grid(embed_dim: int, pos: np.ndarray) -> np.ndarray:
+    assert embed_dim % 2 == 0
+    omega = np.arange(embed_dim // 2, dtype=np.float64)
+    omega /= embed_dim / 2.0
+    omega = 1.0 / 10000 ** omega
+    out = np.einsum("m,d->md", pos.reshape(-1).astype(np.float64), omega)
+    return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+
+def get_3d_sincos_pos_embed(embed_dim: int, grid_size) -> np.ndarray:
+    """(D*H*W, embed_dim) fixed 3D sin-cos table (reference: utils/pos_embed.py:14-51).
+
+    Note: the reference builds the grid with default ``np.meshgrid`` (xy
+    indexing), which swaps the first two axes; we keep 'ij' indexing so axis 0
+    of the table really is the depth axis. Functionally equivalent (a fixed
+    permutation of a fixed table) but actually correct.
+    """
+    if isinstance(grid_size, int):
+        grid_size = (grid_size,) * 3
+    assert embed_dim % 3 == 0, "embed_dim must be divisible by 3 for 3D sincos"
+    grids = np.meshgrid(*[np.arange(g, dtype=np.float32) for g in grid_size],
+                        indexing="ij")
+    embs = [get_1d_sincos_pos_embed_from_grid(embed_dim // 3, g) for g in grids]
+    return np.concatenate(embs, axis=1)
+
+
+class PatchEmbed3D(nn.Module):
+    """Volume -> patch tokens via a k=s=patch conv, channels-last output.
+
+    (B, D, H, W, Cin) -> (B, D/p, H/p, W/p, embed_dim)
+    (reference: models/blocks/patch_embeddings.py:86-133). The reference pads
+    trailing edges to patch multiples; here volumes are already bucketed to
+    static multiples, so padding is a no-op kept for API parity.
+    """
+
+    patch_size: Tuple[int, int, int]
+    embed_dim: int
+    use_norm: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        p = self.patch_size
+        pads = [(0, 0)] + [(0, (-x.shape[1 + i]) % p[i]) for i in range(3)] + [(0, 0)]
+        if any(pp != (0, 0) for pp in pads):
+            x = jnp.pad(x, pads)
+        x = nn.Conv(self.embed_dim, kernel_size=p, strides=p, padding="VALID",
+                    dtype=self.dtype)(x)
+        if self.use_norm:
+            x = LayerNorm(dtype=self.dtype)(x)
+        return x
+
+
+class LearnedClassVectors(nn.Module):
+    """Patch embeddings from HU-intensity interval membership.
+
+    Re-design of reference class_embeddings.py:52-278: interval lookup is one
+    ``searchsorted`` into a static table + a gather from the (tiny) vector
+    table, instead of chained torch.where scans over flattened voxels.
+
+    Variants (mirroring the reference flags):
+      * default: per-voxel learned vector per interval, patch = flattened voxels
+      * sincos_emb: per-voxel sin-cos embedding of interval-normalized intensity
+      * linear_comb: per-voxel linear interpolation between neighbour interval vectors
+      * concat_vector: fixed one-hot vectors, patch = voxel sum (a histogram)
+      * patch_voxel_mean: patch = mean of voxel vectors
+      * final_layer: extra Linear from pooled vector to out_dim
+    """
+
+    patch_size: Tuple[int, int, int]
+    out_dim: int
+    vector_dim: int
+    intensity_transform: Optional[Callable[[np.ndarray], np.ndarray]] = None
+    sincos_emb: bool = False
+    final_layer: bool = False
+    concat_vector: bool = False
+    linear_comb: bool = False
+    patch_voxel_mean: bool = False
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        base = HU_INTENSITY_INTERVALS_LC if self.linear_comb else HU_INTENSITY_INTERVALS
+        if self.intensity_transform is not None:
+            intervals = np.unique(self.intensity_transform(base))
+        else:
+            intervals = base
+        self.intensity_intervals = jnp.asarray(intervals, dtype=jnp.float32)
+        self._n_ivals = len(intervals)
+
+        if self.sincos_emb:
+            self.n_intervals = self._n_ivals - 1
+        elif self.linear_comb:
+            self.n_intervals = self._n_ivals
+        else:
+            self.n_intervals = self._n_ivals + 1
+
+        voxels_per_patch = int(np.prod(self.patch_size))
+        if self.final_layer and (self.concat_vector or self.patch_voxel_mean):
+            assert self.vector_dim == self.n_intervals
+            self.fc = nn.Dense(self.out_dim, dtype=self.dtype,
+                               kernel_init=trunc_normal_init)
+        elif self.final_layer:
+            self.fc = nn.Dense(self.out_dim, dtype=self.dtype,
+                               kernel_init=trunc_normal_init)
+        elif self.patch_voxel_mean:
+            assert self.vector_dim == self.out_dim
+        elif not self.sincos_emb or True:
+            pass  # validated in __call__ for the flatten path
+
+        if not self.sincos_emb:
+            if self.concat_vector:
+                self.vectors = jnp.eye(self.n_intervals, self.vector_dim,
+                                       dtype=jnp.float32)
+            else:
+                self.vectors = self.param(
+                    "vectors", nn.initializers.normal(stddev=1.0),
+                    (self.n_intervals, self.vector_dim), jnp.float32)
+
+    def _interval_upper_idx(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Index i such that intervals[i-1] <= x <= intervals[i] after clamping."""
+        idx = jnp.searchsorted(self.intensity_intervals, x, side="right")
+        return jnp.clip(idx, 1, self._n_ivals - 1)
+
+    def _interval_weight(self, x: jnp.ndarray):
+        """(weight within interval, upper index) — reference voxels_to_weights
+        (class_embeddings.py:256-278)."""
+        lo = self.intensity_intervals[0]
+        hi = self.intensity_intervals[-1]
+        xc = jnp.clip(x, lo, hi)
+        idx = self._interval_upper_idx(xc)
+        a = self.intensity_intervals[idx - 1]
+        b = self.intensity_intervals[idx]
+        return (xc - a) / (b - a), idx
+
+    def _voxel_vectors(self, x: jnp.ndarray) -> jnp.ndarray:
+        """(..., 1) intensities -> (..., vector_dim) vectors."""
+        x = x[..., 0]
+        if self.sincos_emb:
+            w, idx = self._interval_weight(x)
+            period = 2.0 / self.n_intervals
+            norm_x = w * period + (idx - 1) * period - 1.0
+            assert self.vector_dim % 2 == 0
+            omega = (2.0 ** jnp.arange(self.vector_dim // 2, dtype=jnp.float32)) * jnp.pi
+            res = norm_x[..., None] * omega
+            return jnp.concatenate([jnp.sin(res), jnp.cos(res)], axis=-1)
+        if self.linear_comb:
+            w, idx = self._interval_weight(x)
+            v_lo = self.vectors[idx - 1]
+            v_hi = self.vectors[idx]
+            return w[..., None] * v_hi + (1.0 - w[..., None]) * v_lo
+        # default: class index = searchsorted right (0 .. len(intervals))
+        idx = jnp.searchsorted(self.intensity_intervals, x, side="right")
+        return self.vectors[idx]
+
+    def __call__(self, vol: jnp.ndarray) -> jnp.ndarray:
+        """(B, D, H, W, 1) -> (B, D/p, H/p, W/p, out_dim)."""
+        b, d, h, w, _ = vol.shape
+        pd, ph, pw = self.patch_size
+        vv = self._voxel_vectors(vol)  # (B, D, H, W, V)
+        v = self.vector_dim
+        patches = vv.reshape(b, d // pd, pd, h // ph, ph, w // pw, pw, v)
+        patches = patches.transpose(0, 1, 3, 5, 2, 4, 6, 7)  # (B,gd,gh,gw,pd,ph,pw,V)
+        if self.concat_vector:
+            out = patches.sum(axis=(4, 5, 6))
+        elif self.patch_voxel_mean:
+            out = patches.mean(axis=(4, 5, 6))
+        else:
+            out = patches.reshape(b, d // pd, h // ph, w // pw, pd * ph * pw * v)
+        if self.final_layer:
+            out = self.fc(out)
+        return out.astype(self.dtype)

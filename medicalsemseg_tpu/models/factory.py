@@ -1,0 +1,143 @@
+"""Model factory: --model name -> encoder+decoder pair.
+
+Mirrors reference models/model_builder.py:14-242 (7 wired combos). Unknown
+names raise instead of silently returning None (a reference bug we fix,
+model_builder.py falls through for the default 'UNETR_Official').
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from medicalsemseg_tpu.config import Config, as_tuple3
+from medicalsemseg_tpu.models.decoders import (
+    SegFormerHead,
+    SegFormerHeadOfficial,
+    SwinUNETRCustom,
+)
+from medicalsemseg_tpu.models.embeddings import (
+    scale_intensity_range,
+    scale_intensity_range_percentiles,
+)
+from medicalsemseg_tpu.models.swin import SwinEncoder3D
+
+MODEL_NAMES = (
+    "nnFormerUNETR", "SwInception", "SwinDepth", "SwinSegFormer",
+    "SegFormer3D", "GCViTUNETR", "FocalNetUNETR",
+)
+
+
+def _lcv_transform(cfg: Config):
+    """Intensity transform applied to the LCV interval table
+    (reference: models/model_builder.py:16-32)."""
+    if cfg.t_fixed_ct_intensity:
+        return functools.partial(scale_intensity_range, a_min=cfg.t_ct_min,
+                                 a_max=cfg.t_ct_max, b_min=0.0, b_max=1.0,
+                                 clip=True)
+    return functools.partial(scale_intensity_range_percentiles, lower=5,
+                             upper=95, b_min=0.0, b_max=1.0, clip=True)
+
+
+def _compute_dtype(cfg: Config):
+    return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+
+def _swin_encoder(cfg: Config, mlp_type: str) -> SwinEncoder3D:
+    return SwinEncoder3D(
+        patch_size=cfg.patch_size3(),
+        in_chans=cfg.in_chans,
+        embed_dim=cfg.hidden_dim,
+        depths=tuple(cfg.depths),
+        num_heads=tuple(cfg.num_heads),
+        window_sizes=cfg.window_sizes(),
+        mlp_ratio=cfg.mlp_ratio,
+        qkv_bias=cfg.qkv_bias,
+        drop_path_rate=cfg.drop_path_rate,
+        mlp_type=mlp_type,
+        use_learned_cls_vectors=cfg.learned_cls_vectors,
+        lcv_transform=_lcv_transform(cfg) if cfg.learned_cls_vectors else None,
+        lcv_vector_dim=cfg.lcv_vector_dim,
+        lcv_sincos_emb=cfg.lcv_sincos_emb,
+        lcv_final_layer=cfg.lcv_final_layer,
+        lcv_concat_vector=cfg.lcv_concat_vector,
+        lcv_only=cfg.lcv_only,
+        lcv_linear_comb=cfg.lcv_linear_comb,
+        lcv_patch_voxel_mean=cfg.lcv_patch_voxel_mean,
+        rel_crop_pos_emb=cfg.rel_crop_pos_emb,
+        rel_pos_bias_affine=cfg.rel_pos_bias_affine,
+        use_abs_pos_emb=cfg.abs_pos_emb,
+        global_token=cfg.global_token,
+        dtype=_compute_dtype(cfg),
+    )
+
+
+def build_model(cfg: Config) -> nn.Module:
+    """--model name -> flax module with the tuple-input forward contract.
+
+    Input: (volume (B,D,H,W,Cin) channels-last, rel_crop_loc (B,3),
+    affine_xyz (B,3)); output: (B, D, H, W, n_classes) fp32 logits.
+    """
+    dtype = _compute_dtype(cfg)
+    name = cfg.model
+
+    if name in ("nnFormerUNETR", "SwInception", "SwinDepth"):
+        mlp_type = {"nnFormerUNETR": "dense", "SwInception": "inception",
+                    "SwinDepth": "dwconv"}[name]
+        encoder = _swin_encoder(cfg, mlp_type)
+        return SwinUNETRCustom(
+            encoder=encoder, out_channels=cfg.output_dim,
+            hidden_size=cfg.hidden_dim, patch_size=cfg.patch_size3(),
+            dtype=dtype)
+
+    if name == "SwinSegFormer":
+        # the reference builds this encoder without LCV/affine options
+        # (model_builder.py:174-184)
+        encoder = SwinEncoder3D(
+            patch_size=cfg.patch_size3(), in_chans=cfg.in_chans,
+            embed_dim=cfg.hidden_dim, depths=tuple(cfg.depths),
+            num_heads=tuple(cfg.num_heads), window_sizes=cfg.window_sizes(),
+            qkv_bias=cfg.qkv_bias, use_abs_pos_emb=cfg.abs_pos_emb,
+            drop_path_rate=cfg.drop_path_rate, dtype=dtype)
+        return SegFormerHead(encoder=encoder, num_classes=cfg.output_dim,
+                             dtype=dtype)
+
+    if name == "SegFormer3D":
+        from medicalsemseg_tpu.models.segformer import MixVisionTransformer3D
+        encoder = MixVisionTransformer3D(
+            in_chans=cfg.in_chans, embed_dim=cfg.hidden_dim,
+            depths=tuple(cfg.depths), num_heads=tuple(cfg.num_heads),
+            sr_ratios=(8, 4, 2, 1), qkv_bias=cfg.qkv_bias,
+            drop_path_rate=cfg.drop_path_rate, dtype=dtype)
+        return SegFormerHeadOfficial(encoder=encoder,
+                                     num_classes=cfg.output_dim, dtype=dtype)
+
+    if name == "GCViTUNETR":
+        from medicalsemseg_tpu.models.gcvit import GCViT3D
+        encoder = GCViT3D(
+            in_chans=cfg.in_chans, dim=cfg.hidden_dim, mlp_ratio=3.0,
+            depths=tuple(cfg.depths), num_heads=tuple(cfg.num_heads),
+            window_sizes=cfg.window_sizes(), qkv_bias=cfg.qkv_bias,
+            drop_path_rate=cfg.drop_path_rate, dtype=dtype)
+        return SwinUNETRCustom(
+            encoder=encoder, out_channels=cfg.output_dim,
+            hidden_size=cfg.hidden_dim, patch_size=cfg.patch_size3(),
+            dtype=dtype)
+
+    if name == "FocalNetUNETR":
+        from medicalsemseg_tpu.models.focalnet import FocalNet3D
+        encoder = FocalNet3D(
+            patch_size=cfg.patch_size3(), in_chans=cfg.in_chans,
+            embed_dim=cfg.hidden_dim, depths=tuple(cfg.depths),
+            focal_windows=cfg.window_sizes(),
+            drop_path_rate=cfg.drop_path_rate, dtype=dtype)
+        return SwinUNETRCustom(
+            encoder=encoder, out_channels=cfg.output_dim,
+            hidden_size=cfg.hidden_dim, patch_size=cfg.patch_size3(),
+            dtype=dtype)
+
+    raise ValueError(
+        f"unknown model {name!r}; available: {', '.join(MODEL_NAMES)}")

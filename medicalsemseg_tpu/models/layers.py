@@ -1,0 +1,268 @@
+"""Shared model layers: stochastic depth, MLP variants, norms, inits.
+
+Re-derivations of the reference's layer zoo in flax.linen with TPU-friendly
+choices: channels-last convs (NDHWC/DHWIO), fp32 normalization statistics, and
+compute-dtype casting at module boundaries.
+
+References into /root/reference:
+  * Mlp: models/backbones/swin_nnformer.py:24-42
+  * DropPath: timm stochastic depth used at models/backbones/swin_nnformer.py:230
+  * InceptionHead MLP: models/backbones/swinception.py:58-173
+  * depthwise-conv MLP: models/backbones/swindepth.py:25-73
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+trunc_normal_init = nn.initializers.truncated_normal(stddev=0.02)
+
+
+def drop_path(x: jnp.ndarray, rate: float, deterministic: bool,
+              rng: Optional[jax.Array]) -> jnp.ndarray:
+    """Per-sample stochastic depth (timm DropPath semantics)."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+class DropPath(nn.Module):
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        rng = None
+        if not deterministic and self.rate > 0.0:
+            rng = self.make_rng("dropout")
+        return drop_path(x, self.rate, deterministic, rng)
+
+
+class Mlp(nn.Module):
+    """Linear -> GELU -> Linear token MLP (reference: swin_nnformer.py:24-42)."""
+
+    hidden_dim: int
+    out_dim: Optional[int] = None
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, deterministic: bool = True,
+                 grid: Optional[Tuple[int, int, int]] = None) -> jnp.ndarray:
+        out_dim = self.out_dim or x.shape[-1]
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype,
+                     kernel_init=trunc_normal_init)(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = nn.Dense(out_dim, dtype=self.dtype, kernel_init=trunc_normal_init)(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return x
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm with fp32 statistics regardless of compute dtype."""
+
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        y = nn.LayerNorm(epsilon=self.epsilon, dtype=jnp.float32)(x)
+        return y.astype(self.dtype)
+
+
+class Conv3d(nn.Module):
+    """Channels-last 3D conv; NDHWC x DHWIO -> NDHWC maps directly to the MXU."""
+
+    features: int
+    kernel_size: Tuple[int, int, int] = (3, 3, 3)
+    strides: Tuple[int, int, int] = (1, 1, 1)
+    padding: Any = "SAME"
+    use_bias: bool = True
+    feature_group_count: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.Conv(self.features, self.kernel_size, strides=self.strides,
+                       padding=self.padding, use_bias=self.use_bias,
+                       feature_group_count=self.feature_group_count,
+                       dtype=self.dtype)(x)
+
+
+class ConvTranspose3d(nn.Module):
+    """Channels-last transposed conv used by the UNETR up blocks."""
+
+    features: int
+    kernel_size: Tuple[int, int, int]
+    strides: Tuple[int, int, int]
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.ConvTranspose(self.features, self.kernel_size,
+                                strides=self.strides, padding="VALID",
+                                use_bias=self.use_bias, dtype=self.dtype)(x)
+
+
+class InstanceNorm(nn.Module):
+    """InstanceNorm3d over spatial dims, per sample+channel, affine, fp32 stats.
+
+    Equivalent of MONAI's norm_name='instance' in the UNETR blocks
+    (reference: models/segmentors/swin_unetr.py:35).
+    """
+
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        xf = x.astype(jnp.float32)
+        axes = tuple(range(1, x.ndim - 1))
+        mean = xf.mean(axes, keepdims=True)
+        var = xf.var(axes, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return (y * scale + bias).astype(self.dtype)
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm3d equivalent (channels-last). Cross-shard stats are synced by
+    the caller's pmean when running under a mesh — the SyncBatchNorm analogue
+    (reference: run_training.py:83)."""
+
+    use_running_average: bool = True
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, use_running_average: Optional[bool] = None):
+        ura = nn.merge_param("use_running_average", self.use_running_average,
+                             use_running_average)
+        return nn.BatchNorm(use_running_average=ura, momentum=self.momentum,
+                            epsilon=self.epsilon, dtype=self.dtype,
+                            axis_name=self.axis_name)(x)
+
+
+def tokens_to_volume(x: jnp.ndarray, grid: Tuple[int, int, int]) -> jnp.ndarray:
+    """(B, N, C) -> (B, D, H, W, C)."""
+    b, _, c = x.shape
+    return x.reshape(b, grid[0], grid[1], grid[2], c)
+
+
+def volume_to_tokens(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, D, H, W, C) -> (B, N, C)."""
+    b, d, h, w, c = x.shape
+    return x.reshape(b, d * h * w, c)
+
+
+class DepthwiseConvMlp(nn.Module):
+    """SwinDepth's MLP: Dense -> 3x(depthwise 3³ conv + BN + GELU) -> Dense.
+
+    Token-MLP with volumetric depthwise mixing
+    (reference: models/backbones/swindepth.py:25-73).
+    """
+
+    hidden_dim: int
+    out_dim: Optional[int] = None
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, deterministic: bool = True,
+                 grid: Optional[Tuple[int, int, int]] = None) -> jnp.ndarray:
+        assert grid is not None, "DepthwiseConvMlp needs the token grid"
+        out_dim = self.out_dim or x.shape[-1]
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype,
+                     kernel_init=trunc_normal_init)(x)
+        x = nn.gelu(x, approximate=False)
+        v = tokens_to_volume(x, grid)
+        for _ in range(3):
+            v = Conv3d(self.hidden_dim, (3, 3, 3),
+                       feature_group_count=self.hidden_dim, dtype=self.dtype)(v)
+            v = BatchNorm(use_running_average=deterministic, epsilon=1e-3,
+                          dtype=self.dtype)(v)
+            v = nn.gelu(v, approximate=False)
+        x = volume_to_tokens(v)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = nn.Dense(out_dim, dtype=self.dtype, kernel_init=trunc_normal_init)(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return x
+
+
+class BasicConv3d(nn.Module):
+    """Conv3d (bias) + BatchNorm(eps 1e-3) + GELU (reference: swinception.py:45-56)."""
+
+    features: int
+    kernel_size: Tuple[int, int, int] = (1, 1, 1)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+        x = Conv3d(self.features, self.kernel_size, use_bias=True,
+                   dtype=self.dtype)(x)
+        x = BatchNorm(use_running_average=deterministic, epsilon=1e-3,
+                      dtype=self.dtype)(x)
+        return nn.gelu(x, approximate=False)
+
+
+class InceptionMlp(nn.Module):
+    """SwInception's token MLP: 5 parallel conv branches, concat, Linear out.
+
+    hidden_dim is split evenly over the 5 branches; the 3x3/5x5/7x7 branches
+    bottleneck through in_features//8 channels
+    (reference: models/backbones/swinception.py:58-173, branch_weights [1]*5,
+    bottleneck_divisor=8).
+    """
+
+    hidden_dim: int  # total hidden width, split over 5 branches
+    out_dim: Optional[int] = None
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, deterministic: bool = True,
+                 grid: Optional[Tuple[int, int, int]] = None) -> jnp.ndarray:
+        assert grid is not None, "InceptionMlp needs the token grid"
+        out_dim = self.out_dim or x.shape[-1]
+        bd = int(self.hidden_dim / 5)  # per-branch width
+        bn_dim = max(x.shape[-1] // 8, 1)  # bottleneck width
+        v = tokens_to_volume(x, grid)
+        det = deterministic
+
+        b1 = BasicConv3d(bd, (1, 1, 1), dtype=self.dtype)(v, deterministic=det)
+
+        b3 = BasicConv3d(bn_dim, (1, 1, 1), dtype=self.dtype)(v, deterministic=det)
+        b3 = BasicConv3d(bd, (3, 3, 3), dtype=self.dtype)(b3, deterministic=det)
+
+        b5 = BasicConv3d(bn_dim, (1, 1, 1), dtype=self.dtype)(v, deterministic=det)
+        b5 = BasicConv3d(bn_dim, (3, 3, 3), dtype=self.dtype)(b5, deterministic=det)
+        b5 = BasicConv3d(bd, (3, 3, 3), dtype=self.dtype)(b5, deterministic=det)
+
+        b7 = BasicConv3d(bn_dim, (1, 1, 1), dtype=self.dtype)(v, deterministic=det)
+        b7 = BasicConv3d(bn_dim, (3, 3, 3), dtype=self.dtype)(b7, deterministic=det)
+        b7 = BasicConv3d(bn_dim, (3, 3, 3), dtype=self.dtype)(b7, deterministic=det)
+        b7 = BasicConv3d(bd, (3, 3, 3), dtype=self.dtype)(b7, deterministic=det)
+
+        bp = nn.avg_pool(v, (3, 3, 3), strides=(1, 1, 1), padding="SAME",
+                         count_include_pad=False)
+        bp = BasicConv3d(bd, (1, 1, 1), dtype=self.dtype)(bp, deterministic=det)
+
+        cat = jnp.concatenate([b1, b3, b5, b7, bp], axis=-1)
+        x = volume_to_tokens(cat)
+        x = nn.Dense(out_dim, dtype=self.dtype, kernel_init=trunc_normal_init)(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=det)
+        return x

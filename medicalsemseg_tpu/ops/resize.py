@@ -1,0 +1,81 @@
+"""Volumetric resampling ops.
+
+Device-side equivalents of the interpolation the reference gets from torch /
+MONAI / scipy:
+  * trilinear half-pixel resize == F.interpolate(mode='trilinear',
+    align_corners=False) (reference: models/segmentors/segformer_head.py:97-112)
+  * nearest-neighbour zoom == scipy.ndimage.zoom(order=0) used for inverse
+    spacing restoration (reference: utils/misc.py:420-424)
+  * affine spacing resample == MONAI Spacingd (reference:
+    data/dataset_builder.py:30-36), implemented with map_coordinates.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def resize_trilinear(x: jnp.ndarray, out_size: Tuple[int, int, int]) -> jnp.ndarray:
+    """(B, D, H, W, C) -> (B, *out_size, C), half-pixel trilinear."""
+    b, _, _, _, c = x.shape
+    shape = (b,) + tuple(out_size) + (c,)
+    return jax.image.resize(x, shape, method="trilinear")
+
+
+def resize_nearest(x: jnp.ndarray, out_size: Tuple[int, int, int]) -> jnp.ndarray:
+    """(B, D, H, W, C) -> (B, *out_size, C), nearest neighbour.
+
+    jax.image 'nearest' uses round-half-away semantics on half-pixel centers;
+    this matches scipy.ndimage.zoom(order=0) closely enough for label maps
+    (reference resample_3d, utils/misc.py:420-424).
+    """
+    b, _, _, _, c = x.shape
+    shape = (b,) + tuple(out_size) + (c,)
+    return jax.image.resize(x, shape, method="nearest")
+
+
+def spacing_resample_np(vol: np.ndarray, affine: np.ndarray,
+                        new_spacing: Sequence[float],
+                        mode: str = "trilinear") -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side MONAI ``Spacingd`` equivalent on a (D, H, W[, C]) volume.
+
+    Computes the output grid from the affine's per-axis voxel spacing, then
+    resamples with half-pixel-aligned trilinear or nearest interpolation.
+    Returns (resampled volume, new affine). Runs at dataset-cache build time
+    (the reference also does this once per volume on CPU workers,
+    data/dataset_builder.py:30-36 + CacheDataset).
+    """
+    spacing = np.sqrt((affine[:3, :3] ** 2).sum(axis=0))
+    new_spacing = np.asarray(new_spacing, dtype=np.float64)
+    in_shape = np.asarray(vol.shape[:3])
+    out_shape = np.maximum(np.ceil(in_shape * spacing / new_spacing), 1).astype(int)
+
+    scale = in_shape / out_shape  # input voxels per output voxel
+    coords = [
+        (np.arange(out_shape[i]) + 0.5) * scale[i] - 0.5 for i in range(3)
+    ]
+    grid = np.meshgrid(*coords, indexing="ij")
+
+    from scipy.ndimage import map_coordinates
+
+    order = 0 if mode == "nearest" else 1
+    if vol.ndim == 3:
+        out = map_coordinates(vol, grid, order=order, mode="nearest")
+    else:
+        out = np.stack([
+            map_coordinates(vol[..., ch], grid, order=order, mode="nearest")
+            for ch in range(vol.shape[-1])
+        ], axis=-1)
+
+    new_affine = affine.copy().astype(np.float64)
+    norm = affine[:3, :3] / np.maximum(spacing, 1e-12)
+    new_affine[:3, :3] = norm * new_spacing
+    # keep the volume centre fixed (MONAI Spacingd default behaviour)
+    center_in = affine[:3, :3] @ ((in_shape - 1) / 2.0) + affine[:3, 3]
+    center_out = new_affine[:3, :3] @ ((out_shape - 1) / 2.0)
+    new_affine[:3, 3] = center_in - center_out
+    return out.astype(vol.dtype, copy=False), new_affine

@@ -1,0 +1,89 @@
+"""Segmentation metrics: per-class Dice (device) and 95% Hausdorff (host).
+
+  * dice_per_class mirrors MONAI DiceMetric(include_background=True,
+    reduction='none', get_not_nans=True) as used in the train/val loops
+    (reference: engine/train.py:31,89-106; engine/val.py:77-95): per-sample,
+    per-class 2|P∩G| / (|P|+|G|), NaN when the class is absent from the
+    ground truth (ignore_empty semantics).
+  * hausdorff95 mirrors MONAI HausdorffDistanceMetric(percentile=95)
+    (reference: engine/test.py:31): a host-side scipy implementation — it is
+    an offline eval metric in the reference too.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_SPATIAL = (1, 2, 3)
+
+
+def dice_per_class(pred_labels: jnp.ndarray, true_labels: jnp.ndarray,
+                   n_classes: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(B, D, H, W) int predictions/labels -> ((B, C) dice, (B, C) not_nan).
+
+    dice is 0 where not_nan is 0 (callers mask with not_nan, like MONAI's
+    get_not_nans=True aggregation).
+    """
+    p = jax.nn.one_hot(pred_labels, n_classes, dtype=jnp.float32)
+    g = jax.nn.one_hot(true_labels, n_classes, dtype=jnp.float32)
+    inter = jnp.sum(p * g, axis=_SPATIAL)
+    p_o = jnp.sum(p, axis=_SPATIAL)
+    g_o = jnp.sum(g, axis=_SPATIAL)
+    not_nan = (g_o > 0).astype(jnp.float32)
+    denom = p_o + g_o
+    dice = jnp.where(denom > 0, 2.0 * inter / jnp.maximum(denom, 1.0), 0.0)
+    return dice * not_nan, not_nan
+
+
+def mean_dice(dice: jnp.ndarray, not_nan: jnp.ndarray) -> jnp.ndarray:
+    """NaN-aware mean over batch then classes (reference: engine/train.py:96-106)."""
+    class_counts = not_nan.sum(0)
+    class_sums = dice.sum(0)
+    class_means = jnp.where(class_counts > 0, class_sums / jnp.maximum(class_counts, 1.0), jnp.nan)
+    valid = ~jnp.isnan(class_means)
+    return jnp.where(valid, class_means, 0.0).sum() / jnp.maximum(valid.sum(), 1)
+
+
+def _surface_points(mask: np.ndarray) -> np.ndarray:
+    """Border voxels of a binary mask (erosion-based edge extraction)."""
+    from scipy.ndimage import binary_erosion
+
+    if not mask.any():
+        return np.zeros((0, mask.ndim), dtype=np.int64)
+    eroded = binary_erosion(mask, border_value=0)
+    return np.argwhere(mask & ~eroded)
+
+
+def hausdorff95(pred: np.ndarray, target: np.ndarray,
+                n_classes: int, include_background: bool = False) -> np.ndarray:
+    """(D, H, W) int arrays -> per-class HD95 (NaN for absent classes).
+
+    Directed distances computed via the Euclidean distance transform of each
+    surface (equivalent to MONAI's percentile Hausdorff).
+    """
+    from scipy.ndimage import distance_transform_edt
+
+    start = 0 if include_background else 1
+    out = np.full(n_classes - start, np.nan)
+    for ci, c in enumerate(range(start, n_classes)):
+        pm = pred == c
+        tm = target == c
+        ps = _surface_points(pm)
+        ts = _surface_points(tm)
+        if len(ps) == 0 or len(ts) == 0:
+            out[ci] = np.nan if len(ps) == len(ts) else np.inf
+            continue
+        t_surf = np.zeros_like(tm)
+        t_surf[tuple(ts.T)] = True
+        p_surf = np.zeros_like(pm)
+        p_surf[tuple(ps.T)] = True
+        d_to_t = distance_transform_edt(~t_surf)
+        d_to_p = distance_transform_edt(~p_surf)
+        d_pt = d_to_t[tuple(ps.T)]
+        d_tp = d_to_p[tuple(ts.T)]
+        out[ci] = max(np.percentile(d_pt, 95), np.percentile(d_tp, 95))
+    return out

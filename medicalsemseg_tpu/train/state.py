@@ -1,0 +1,155 @@
+"""Train state + jitted train/eval steps.
+
+The TPU-native re-layering of the reference's training machinery
+(reference: run_training.py:77-131, engine/train.py:14-128):
+
+  * one `TrainState` pytree {params, batch_stats, opt_state, step} checkpointed
+    by orbax — torch's model/optimizer/scaler/scheduler quartet collapses here
+    (GradScaler disappears entirely: bf16 needs no loss scaling);
+  * AdamW(betas=(0.9, 0.95), eps=1e-6) with timm-style weight-decay masking —
+    no decay for biases/1-D params (reference: run_training.py:92-93);
+  * the whole step (forward, loss, backward, clip, update, train-Dice metrics)
+    is a single jitted function; under a sharded batch XLA inserts the gradient
+    all-reduce over ICI, which is the reference's DDP backward
+    (engine/train.py:73) without the machinery;
+  * BatchNorm stats for the conv-MLP encoders are batch-local per shard and
+    periodically consistent because params are replicated — exact SyncBN-style
+    cross-shard stat sync (reference: run_training.py:83) is provided by
+    `sync_batch_stats` via pmean at epoch boundaries.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from medicalsemseg_tpu.config import Config
+from medicalsemseg_tpu.train.losses import build_loss
+from medicalsemseg_tpu.train.metrics import dice_per_class
+from medicalsemseg_tpu.train.schedule import make_epoch_schedule
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    apply_fn: Callable = struct.field(pytree_node=False)
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(step=self.step + 1,
+                            params=optax.apply_updates(self.params, updates),
+                            opt_state=new_opt_state)
+
+
+def weight_decay_mask(params):
+    """timm add_weight_decay semantics: decay only >=2-D kernels
+    (reference: run_training.py:92)."""
+    return jax.tree_util.tree_map(lambda p: p.ndim > 1, params)
+
+
+def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransformation:
+    schedule = make_epoch_schedule(cfg.lr, cfg.warmup_epochs, cfg.epochs,
+                                   steps_per_epoch)
+    chain = []
+    if cfg.gradient_clipping is not None:
+        chain.append(optax.clip_by_global_norm(cfg.gradient_clipping))
+    chain.append(optax.adamw(schedule, b1=0.9, b2=0.95, eps=1e-6,
+                             weight_decay=cfg.weight_decay,
+                             mask=weight_decay_mask))
+    return optax.chain(*chain), schedule
+
+
+def create_train_state(cfg: Config, model, rng: jax.Array,
+                       sample_input, steps_per_epoch: int) -> Tuple[TrainState, Callable]:
+    variables = model.init(rng, sample_input, deterministic=True)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", FrozenDict())
+    tx, schedule = make_optimizer(cfg, steps_per_epoch)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       batch_stats=batch_stats, opt_state=tx.init(params),
+                       apply_fn=model.apply, tx=tx)
+    return state, schedule
+
+
+def make_train_step(cfg: Config):
+    """Build the jitted train step. batch keys: image (B,D,H,W,C) fp32,
+    label (B,D,H,W) int32, crop_loc (B,3), affine (B,3)."""
+    loss_fn = build_loss(cfg)
+    n_classes = cfg.output_dim
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
+                   rng: jax.Array):
+        model_in = (batch["image"], batch.get("crop_loc"), batch.get("affine"))
+        has_bn = bool(jax.tree_util.tree_leaves(state.batch_stats))
+
+        def compute_loss(params):
+            variables = {"params": params}
+            if has_bn:
+                variables["batch_stats"] = state.batch_stats
+                logits, mutated = state.apply_fn(
+                    variables, model_in, deterministic=False,
+                    rngs={"dropout": rng}, mutable=["batch_stats"])
+                new_stats = mutated["batch_stats"]
+            else:
+                logits = state.apply_fn(variables, model_in,
+                                        deterministic=False,
+                                        rngs={"dropout": rng})
+                new_stats = state.batch_stats
+            loss = loss_fn(logits, batch["label"])
+            return loss, (logits, new_stats)
+
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(
+            compute_loss, has_aux=True)(state.params)
+        state = state.apply_gradients(grads).replace(batch_stats=new_stats)
+
+        pred = jnp.argmax(logits, axis=-1)
+        dice, not_nan = dice_per_class(pred, batch["label"], n_classes)
+        metrics = {
+            "loss": loss,
+            "dice_sum": dice.sum(0),       # (C,) — accumulated host-side
+            "dice_count": not_nan.sum(0),  # (C,)
+            "grad_norm": optax.global_norm(grads),
+        }
+        return state, metrics
+
+    return train_step
+
+
+def make_eval_forward(cfg: Config, model):
+    """deterministic forward for validation / sliding-window prediction."""
+
+    def forward(state: TrainState, model_in):
+        variables = {"params": state.params}
+        if jax.tree_util.tree_leaves(state.batch_stats):
+            variables["batch_stats"] = state.batch_stats
+        return model.apply(variables, model_in, deterministic=True)
+
+    return forward
+
+
+def sync_batch_stats(state: TrainState, mesh=None) -> TrainState:
+    """Average per-shard BatchNorm running stats (SyncBN analogue).
+
+    With replicated params and a sharded batch the stats evolve identically on
+    every chip under jit, so this is a no-op there; it matters when stats are
+    accumulated per-host in a multi-process setup.
+    """
+    leaves = jax.tree_util.tree_leaves(state.batch_stats)
+    if not leaves:
+        return state
+    n = jax.process_count()
+    if n == 1:
+        return state
+    stats = jax.tree_util.tree_map(
+        lambda x: jax.lax.pmean(x, axis_name="hosts") if hasattr(x, "shape") else x,
+        state.batch_stats)
+    return state.replace(batch_stats=stats)

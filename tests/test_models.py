@@ -1,0 +1,108 @@
+"""Model forward-shape and factory tests on tiny configs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from medicalsemseg_tpu.config import Config
+from medicalsemseg_tpu.models import build_model
+
+TINY = dict(vol_size=32, patch_size=2, hidden_dim=12, depths=(1, 1, 1, 1),
+            num_heads=(2, 2, 2, 2), window_size=2, output_dim=3,
+            compute_dtype="float32", n_images_per_batch=1)
+
+
+def tiny_cfg(**kw):
+    d = dict(TINY)
+    d.update(kw)
+    return Config(**d)
+
+
+def make_inputs(cfg, batch=1, seed=0):
+    rng = np.random.default_rng(seed)
+    v = cfg.vol_size3()
+    vol = jnp.asarray(rng.normal(size=(batch, *v, cfg.in_chans)).astype(np.float32))
+    crop = jnp.asarray(rng.uniform(size=(batch, 3)).astype(np.float32))
+    aff = jnp.ones((batch, 3), jnp.float32)
+    return (vol, crop, aff)
+
+
+def init_and_apply(model, x_in, train=False):
+    variables = jax.jit(lambda r, x: model.init(r, x, deterministic=True))(
+        jax.random.PRNGKey(0), x_in)
+    if train:
+        fn = jax.jit(lambda v, x, r: model.apply(
+            v, x, deterministic=False, rngs={"dropout": r},
+            mutable=["batch_stats"]))
+        out, _ = fn(variables, x_in, jax.random.PRNGKey(1))
+        return out
+    fn = jax.jit(lambda v, x: model.apply(v, x, deterministic=True))
+    return fn(variables, x_in)
+
+
+@pytest.mark.parametrize("name", ["nnFormerUNETR", "SwInception", "SwinDepth"])
+def test_unetr_combos_forward_shape(name):
+    cfg = tiny_cfg(model=name)
+    model = build_model(cfg)
+    x_in = make_inputs(cfg)
+    out = init_and_apply(model, x_in)
+    assert out.shape == (1, 32, 32, 32, 3)
+    assert out.dtype == jnp.float32
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_swinsegformer_forward_shape():
+    cfg = tiny_cfg(model="SwinSegFormer")
+    model = build_model(cfg)
+    out = init_and_apply(model, make_inputs(cfg))
+    assert out.shape == (1, 32, 32, 32, 3)
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_encoder_options_forward():
+    cfg = tiny_cfg(model="nnFormerUNETR", rel_crop_pos_emb=True,
+                   rel_pos_bias_affine=True, global_token=True,
+                   abs_pos_emb=True, qkv_bias=True)
+    model = build_model(cfg)
+    out = init_and_apply(model, make_inputs(cfg))
+    assert out.shape == (1, 32, 32, 32, 3)
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_lcv_variants_forward():
+    for kw in (dict(learned_cls_vectors=True, lcv_vector_dim=6,
+                    lcv_patch_voxel_mean=True, lcv_final_layer=False,
+                    hidden_dim=12),
+               dict(learned_cls_vectors=True, lcv_vector_dim=6,
+                    lcv_concat_vector=True),
+               dict(learned_cls_vectors=True, lcv_vector_dim=6,
+                    lcv_sincos_emb=True, lcv_final_layer=True),
+               dict(learned_cls_vectors=True, lcv_vector_dim=6,
+                    lcv_linear_comb=True, lcv_final_layer=True)):
+        if kw.get("lcv_patch_voxel_mean"):
+            kw["lcv_vector_dim"] = kw["hidden_dim"] = 12
+        cfg = tiny_cfg(model="nnFormerUNETR", t_fixed_ct_intensity=True, **kw)
+        model = build_model(cfg)
+        out = init_and_apply(model, make_inputs(cfg))
+        assert out.shape == (1, 32, 32, 32, 3), kw
+        assert bool(jnp.isfinite(out).all()), kw
+
+
+def test_train_mode_with_dropout_and_droppath():
+    cfg = tiny_cfg(model="nnFormerUNETR", drop_path_rate=0.5)
+    model = build_model(cfg)
+    out = init_and_apply(model, make_inputs(cfg), train=True)
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_unknown_model_raises():
+    with pytest.raises(ValueError):
+        build_model(tiny_cfg(model="UNETR_Official"))
+
+
+def test_batch_of_two():
+    cfg = tiny_cfg(model="nnFormerUNETR")
+    model = build_model(cfg)
+    out = init_and_apply(model, make_inputs(cfg, batch=2))
+    assert out.shape == (2, 32, 32, 32, 3)
