@@ -1,0 +1,118 @@
+"""Labeled evaluation driver (reference: run_evaluation.py:23-95 +
+engine/test.py:15-94 eval_model).
+
+Loads a checkpoint, sliding-window inference over the labeled validation
+datalist, per-class Dice + 95th-percentile Hausdorff, optional NIfTI dumps of
+pred/img/gt.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from medicalsemseg_tpu.config import Config, get_args
+from medicalsemseg_tpu.data import nifti
+from medicalsemseg_tpu.data.datalist import load_decathlon_datalist
+from medicalsemseg_tpu.data.dataset import CachedVolumeDataset, EvalLoader
+from medicalsemseg_tpu.models import build_model
+from medicalsemseg_tpu.train.metrics import dice_per_class, hausdorff95
+from medicalsemseg_tpu.train.state import create_train_state
+from medicalsemseg_tpu.utils import checkpoint as ckpt
+from medicalsemseg_tpu.utils.jitutil import enable_compilation_cache
+
+
+def eval_model(state, model, loader, cfg: Config):
+    n_cls = cfg.output_dim
+    air_cval = ((0.0 - cfg.t_norm_mean) / cfg.t_norm_std
+                if cfg.t_normalize else 0.0)
+
+    from medicalsemseg_tpu.infer.sliding_window import jitted_sliding_window
+
+    sw_run = jitted_sliding_window(model)
+    variables = {"params": state.params}
+    if jax.tree_util.tree_leaves(state.batch_stats):
+        variables["batch_stats"] = state.batch_stats
+
+    all_dice, all_nn, all_hd = [], [], []
+    for i, sample in enumerate(loader):
+        vol = jnp.asarray(sample.image)[None]
+        aff_xyz = jnp.asarray(np.diag(sample.original_affine)[:3],
+                              jnp.float32)[None]
+        logits = sw_run(variables, vol, aff_xyz, roi=cfg.vol_size3(),
+                        sw_batch=cfg.batch_size_val,
+                        overlap=cfg.val_infer_overlap, mode="gaussian",
+                        cval=air_cval, n_classes=n_cls)
+        pred = np.asarray(jnp.argmax(logits[0], axis=-1)).astype(np.uint8)
+        gt = sample.label[..., 0].astype(np.int32)
+
+        dice, nn = dice_per_class(jnp.asarray(pred)[None],
+                                  jnp.asarray(gt)[None], n_cls)
+        hd = hausdorff95(pred, gt, n_cls, include_background=False)
+        all_dice.append(np.asarray(dice)[0])
+        all_nn.append(np.asarray(nn)[0])
+        all_hd.append(hd)
+        finite_hd = hd[np.isfinite(hd)]
+        print(f"[{i}] {os.path.basename(sample.name)}: "
+              f"mDice {np.asarray(dice)[0][np.asarray(nn)[0] > 0].mean():.4f} "
+              f"HD95 {finite_hd.mean() if len(finite_hd) else float('nan'):.2f}")
+
+        if cfg.save_eval_output and cfg.output_dir:
+            out_dir = os.path.join(cfg.output_dir, "eval_output",
+                                   f"Fold{cfg.cv_fold}")
+            name = os.path.basename(sample.name)
+            for sub, arr in (("pred", pred), ("img", sample.image[..., 0]),
+                             ("gt", gt.astype(np.uint8))):
+                d = os.path.join(out_dir, sub)
+                os.makedirs(d, exist_ok=True)
+                nifti.save(nifti.NiftiImage(arr, sample.affine),
+                           os.path.join(d, name))
+
+    dice = np.stack(all_dice)
+    nn = np.stack(all_nn)
+    class_dice = np.where(nn.sum(0) > 0, dice.sum(0) / np.maximum(nn.sum(0), 1),
+                          np.nan)
+    hd = np.stack(all_hd)
+    with np.errstate(invalid="ignore"):
+        class_hd = np.nanmean(np.where(np.isfinite(hd), hd, np.nan), axis=0)
+    print("Per-class Dice:", np.round(class_dice, 4).tolist())
+    print("Per-class HD95:", np.round(class_hd, 2).tolist())
+    print(f"Overall mDice: {np.nanmean(class_dice):.4f}  "
+          f"mHD95: {np.nanmean(class_hd):.2f}")
+    return {"mDice": float(np.nanmean(class_dice)),
+            "mHD95": float(np.nanmean(class_hd))}
+
+
+def main(cfg: Config):
+    enable_compilation_cache()
+    data_json = os.path.join(cfg.data_path, cfg.task, cfg.json_list)
+    files = load_decathlon_datalist(data_json, "validation")
+    ds = CachedVolumeDataset(files, cfg, cache_rate=0.0)
+    loader = EvalLoader(ds)
+
+    model = build_model(cfg)
+    v = cfg.vol_size3()
+    x_probe = (jnp.zeros((1, *v, cfg.in_chans)), jnp.zeros((1, 3)),
+               jnp.ones((1, 3)))
+    state, _ = create_train_state(cfg, model, jax.random.PRNGKey(cfg.seed),
+                                  x_probe, 1)
+    if cfg.resume:
+        state = ckpt.load_params_only(cfg.resume, state)
+        print(f"Loaded checkpoint {cfg.resume}")
+
+    t0 = time.time()
+    eval_model(state, model, loader, cfg)
+    print(f"Evaluation took {time.time() - t0:.1f}s for {len(ds)} volumes")
+
+
+if __name__ == "__main__":
+    args = get_args()
+    if args.output_dir:
+        Path(args.output_dir).mkdir(parents=True, exist_ok=True)
+    main(args)

@@ -88,6 +88,36 @@ def constant_importance_map(roi_size: Tuple3) -> np.ndarray:
     return np.ones(roi_size, dtype=np.float32)
 
 
+_JITTED_SW_CACHE: dict = {}
+
+
+def jitted_sliding_window(model):
+    """Model-closed, shape-cached jitted sliding-window runner.
+
+    Returns fn(variables, vol, affine, *, roi, sw_batch, overlap, mode, cval,
+    n_classes). Model variables are jit ARGUMENTS — never close over params
+    when jitting on this platform: the weights would be serialized into the
+    HLO as constants (hundreds of MB) and the axon remote-compile tunnel
+    rejects the request with HTTP 413.
+    """
+    if model in _JITTED_SW_CACHE:
+        return _JITTED_SW_CACHE[model]
+
+    @functools.partial(jax.jit, static_argnames=(
+        "roi", "sw_batch", "overlap", "mode", "cval", "n_classes"))
+    def run(variables, vol, affine, *, roi, sw_batch, overlap,
+            mode="gaussian", cval=0.0, n_classes=None):
+        def predictor(model_in):
+            return model.apply(variables, model_in, deterministic=True)
+
+        return sliding_window_inference(
+            vol, affine, roi, sw_batch, predictor, overlap=overlap,
+            mode=mode, cval=cval, n_classes=n_classes)
+
+    _JITTED_SW_CACHE[model] = run
+    return run
+
+
 def sliding_window_inference(
     inputs: jnp.ndarray,
     affine: jnp.ndarray,

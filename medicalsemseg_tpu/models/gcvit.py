@@ -1,0 +1,301 @@
+"""GC-ViT 3D encoder (global-context vision transformer).
+
+Reference: models/backbones/gc_vit_3d.py:549-637 — conv stem (3³ stride-2),
+stages alternating local WindowAttention3D and global WindowAttentionGlobal3D
+(global queries from a FeatExtract downsampling pyramid, local K/V), SE
+blocks, ReduceSize downsampling. Returns the 5-scale pyramid
+[stem@R/2, s1@R/4, ..., s4@R/32].
+
+Deviations from the reference (both documented reference quirks, fixed here):
+  * rel-pos bias indexing uses the standard (2w-1)-strided index table; the
+    reference uses strides (3w-1, 2w-1) (gc_vit_3d.py:209-210) which collides
+    table entries;
+  * global queries broadcast per batch element (the reference's
+    q_global.repeat tiles across the batch, mixing samples when B > 1,
+    gc_vit_3d.py:361-366).
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from medicalsemseg_tpu.models.layers import (
+    Conv3d,
+    DropPath,
+    LayerNorm,
+    Mlp,
+    trunc_normal_init,
+)
+from medicalsemseg_tpu.ops.window import (
+    relative_position_index,
+    window_partition,
+    window_reverse,
+)
+
+Dtype = Any
+
+
+class SE(nn.Module):
+    """Squeeze-excitation gate (reference: gc_vit_3d.py:37-52)."""
+
+    dim: int
+    expansion: float = 0.25
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        y = x.mean(axis=(1, 2, 3))  # (B, C)
+        y = nn.Dense(int(self.dim * self.expansion), use_bias=False,
+                     dtype=self.dtype)(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(self.dim, use_bias=False, dtype=self.dtype)(y)
+        y = jax.nn.sigmoid(y)
+        return x * y[:, None, None, None, :]
+
+
+class _ConvSE(nn.Module):
+    """dwconv3 + GELU + SE + 1x1 residual branch (shared by FeatExtract /
+    ReduceSize, reference: gc_vit_3d.py:55-116)."""
+
+    dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = Conv3d(self.dim, (3, 3, 3), feature_group_count=self.dim,
+                   use_bias=False, dtype=self.dtype)(x)
+        h = nn.gelu(h, approximate=False)
+        h = SE(self.dim, dtype=self.dtype)(h)
+        h = Conv3d(self.dim, (1, 1, 1), use_bias=False, dtype=self.dtype)(h)
+        return x + h
+
+
+class FeatExtract(nn.Module):
+    """conv-SE residual + optional 3³/s2 maxpool (reference: :97-116)."""
+
+    dim: int
+    keep_dim: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = _ConvSE(self.dim, dtype=self.dtype)(x)
+        if not self.keep_dim:
+            x = nn.max_pool(x, (3, 3, 3), strides=(2, 2, 2),
+                            padding=((1, 1), (1, 1), (1, 1)))
+        return x
+
+
+class ReduceSize(nn.Module):
+    """LN -> conv-SE residual -> 3³/s2 conv (2x channels) -> LN
+    (reference: :55-82)."""
+
+    dim: int
+    keep_dim: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        out_dim = self.dim if self.keep_dim else 2 * self.dim
+        x = LayerNorm(dtype=self.dtype, name="norm1")(x)
+        x = _ConvSE(self.dim, dtype=self.dtype)(x)
+        x = Conv3d(out_dim, (3, 3, 3), strides=(2, 2, 2),
+                   padding=((1, 1), (1, 1), (1, 1)), use_bias=False,
+                   dtype=self.dtype, name="reduction")(x)
+        return LayerNorm(dtype=self.dtype, name="norm2")(x)
+
+
+class GCWindowAttention(nn.Module):
+    """Local or global windowed attention with rel-pos bias
+    (reference: :182-380)."""
+
+    dim: int
+    num_heads: int
+    window_size: int
+    use_global: bool = False
+    qkv_bias: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, q_global: Optional[jnp.ndarray],
+                 deterministic: bool = True) -> jnp.ndarray:
+        b_, n, c = x.shape
+        nh = self.num_heads
+        hd = c // nh
+        scale = hd ** -0.5
+        ws = self.window_size
+
+        if self.use_global:
+            kv = nn.Dense(2 * c, use_bias=self.qkv_bias, dtype=self.dtype,
+                          kernel_init=trunc_normal_init, name="qkv")(x)
+            kv = kv.reshape(b_, n, 2, nh, hd).transpose(2, 0, 3, 1, 4)
+            k, v = kv[0], kv[1]
+            # broadcast per batch element (fixing the reference's
+            # sample-mixing tile, gc_vit_3d.py:361-366)
+            bsz = q_global.shape[0]
+            qg = jnp.repeat(q_global, b_ // bsz, axis=0)  # (B_, ws,ws,ws,C)
+            q = qg.reshape(b_, n, nh, hd).transpose(0, 2, 1, 3)
+        else:
+            qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
+                           kernel_init=trunc_normal_init, name="qkv")(x)
+            qkv = qkv.reshape(b_, n, 3, nh, hd).transpose(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k,
+                          preferred_element_type=jnp.float32)
+        table_size = (2 * ws - 1) ** 3
+        table = self.param("relative_position_bias_table", trunc_normal_init,
+                           (table_size, nh), jnp.float32)
+        idx = jnp.asarray(relative_position_index((ws, ws, ws)))
+        attn = attn + table[idx].transpose(2, 0, 1)[None]
+
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
+        out = nn.Dense(c, dtype=self.dtype, kernel_init=trunc_normal_init,
+                       name="proj")(out)
+        return nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+
+
+class GCViTBlock(nn.Module):
+    """LN -> (local|global) window attention -> LN -> MLP
+    (reference: :410-464)."""
+
+    dim: int
+    num_heads: int
+    window_size: int
+    use_global: bool
+    mlp_ratio: float = 3.0
+    qkv_bias: bool = True
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path_rate: float = 0.0
+    layer_scale: Optional[float] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, q_global, deterministic: bool = True):
+        b, d, h, w, c = x.shape
+        ws = min(self.window_size, d, h, w)
+        shortcut = x
+        xn = LayerNorm(dtype=self.dtype, name="norm1")(x)
+        wins = window_partition(xn, ws)
+        wins = GCWindowAttention(
+            dim=c, num_heads=self.num_heads, window_size=ws,
+            use_global=self.use_global, qkv_bias=self.qkv_bias,
+            attn_drop=self.attn_drop, proj_drop=self.drop, dtype=self.dtype,
+            name="attn")(wins, q_global, deterministic)
+        xn = window_reverse(wins, ws, (d, h, w))
+
+        if self.layer_scale is not None:
+            g1 = self.param("gamma1", nn.initializers.constant(self.layer_scale),
+                            (c,), jnp.float32)
+            g2 = self.param("gamma2", nn.initializers.constant(self.layer_scale),
+                            (c,), jnp.float32)
+        else:
+            g1 = g2 = 1.0
+
+        x = shortcut + DropPath(self.drop_path_rate)(
+            g1 * xn, deterministic=deterministic)
+        mlp = Mlp(hidden_dim=int(c * self.mlp_ratio), dropout=self.drop,
+                  dtype=self.dtype, name="mlp")
+        h_out = mlp(LayerNorm(dtype=self.dtype, name="norm2")(x).reshape(b, -1, c),
+                    deterministic=deterministic).reshape(b, d, h, w, c)
+        return x + DropPath(self.drop_path_rate)(
+            g2 * h_out, deterministic=deterministic)
+
+
+class GCViTLayer(nn.Module):
+    """One stage: global-query pyramid + alternating local/global blocks +
+    ReduceSize (reference: :467-546)."""
+
+    dim: int
+    depth: int
+    num_heads: int
+    window_size: int
+    mlp_ratio: float = 3.0
+    qkv_bias: bool = True
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path_rates: Tuple[float, ...] = (0.0,)
+    layer_scale: Optional[float] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True):
+        d = x.shape[1]
+        ws = min(self.window_size, min(x.shape[1:4]))
+        # reduce the feature map down to ws³ for the global queries
+        # (generalizes the reference's hardcoded resolution cases, :503-531)
+        q = x
+        n_reduce = max(int(np.log2(max(d // ws, 1))), 0)
+        if n_reduce == 0:
+            q = FeatExtract(self.dim, keep_dim=True, dtype=self.dtype,
+                            name="to_q_global_0")(q)
+        else:
+            for i in range(n_reduce):
+                q = FeatExtract(self.dim, keep_dim=False, dtype=self.dtype,
+                                name=f"to_q_global_{i}")(q)
+
+        for i in range(self.depth):
+            x = GCViTBlock(
+                dim=self.dim, num_heads=self.num_heads, window_size=ws,
+                use_global=(i % 2 == 1), mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias, drop=self.drop,
+                attn_drop=self.attn_drop,
+                drop_path_rate=self.drop_path_rates[i],
+                layer_scale=self.layer_scale, dtype=self.dtype,
+                name=f"blocks_{i}")(x, q, deterministic)
+        return ReduceSize(dim=self.dim, dtype=self.dtype, name="downsample")(x)
+
+
+class GCViT3D(nn.Module):
+    """The full encoder; tuple-input contract, 5-scale channels-last pyramid
+    (reference: :549-637)."""
+
+    in_chans: int = 1
+    dim: int = 48
+    depths: Tuple[int, ...] = (2, 2, 2, 2)
+    num_heads: Tuple[int, ...] = (3, 6, 12, 24)
+    window_sizes: Tuple[int, ...] = (6, 6, 6, 6)
+    mlp_ratio: float = 3.0
+    qkv_bias: bool = True
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.2
+    layer_scale: Optional[float] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_in, deterministic: bool = True) -> List[jnp.ndarray]:
+        vol = x_in[0].astype(self.dtype)
+        # conv stem: 3³ stride-2 (reference PatchEmbed, :85-95)
+        x = Conv3d(self.dim, (3, 3, 3), strides=(2, 2, 2),
+                   padding=((1, 1), (1, 1), (1, 1)), dtype=self.dtype,
+                   name="patch_embed")(vol)
+        outputs = [x]
+        x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
+
+        num_features = [int(self.dim * 2 ** (i + 1))
+                        for i in range(len(self.depths))]
+        dpr = np.linspace(0, self.drop_path_rate, sum(self.depths)).tolist()
+        for i in range(len(self.depths)):
+            x = GCViTLayer(
+                dim=int(self.dim * 2 ** i), depth=self.depths[i],
+                num_heads=self.num_heads[i], window_size=self.window_sizes[i],
+                mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
+                drop=self.drop_rate, attn_drop=self.attn_drop_rate,
+                drop_path_rates=tuple(
+                    dpr[sum(self.depths[:i]):sum(self.depths[:i + 1])]),
+                layer_scale=self.layer_scale, dtype=self.dtype,
+                name=f"levels_{i}")(x, deterministic)
+            outputs.append(LayerNorm(dtype=self.dtype, name=f"norm{i}")(x))
+        return outputs

@@ -1,0 +1,126 @@
+"""Epoch-level train / validation loops.
+
+Reference: engine/train.py:14-128 (train_one_epoch) and engine/val.py:15-110
+(run_validation). The per-step work (fwd+loss+bwd+optim+train-Dice) is one
+jitted function from train.state; this module owns host-side concerns only:
+batching onto the mesh, metric smoothing, finiteness guards, logging.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from medicalsemseg_tpu.config import Config
+from medicalsemseg_tpu.train.losses import build_loss
+from medicalsemseg_tpu.train.metrics import dice_per_class
+from medicalsemseg_tpu.train.schedule import warmup_cosine_lr
+from medicalsemseg_tpu.utils.logger import MetricLogger, SmoothedValue
+
+
+def _class_meter_names(n: int):
+    return [f"class{c}Dice" for c in range(n)]
+
+
+def train_one_epoch(state, train_step, loader, epoch: int, cfg: Config,
+                    base_rng: jax.Array, log_writer=None,
+                    put_batch: Optional[Callable] = None):
+    """One epoch over the crop loader; returns {'train/...': global averages}
+    (reference: engine/train.py:14-128)."""
+    logger = MetricLogger()
+    logger.add_meter("lr", SmoothedValue(100, "{value:.6f}"))
+    logger.add_meter("loss", SmoothedValue(100, "{value:.6f}"))
+    logger.add_meter("mDice", SmoothedValue(100, "{value:.6f}"))
+    for name in _class_meter_names(cfg.output_dim):
+        logger.add_meter(name, SmoothedValue(100, "{value:.6f}"))
+    header = f"Epoch: [{epoch}]"
+    steps = loader.steps_per_epoch()
+
+    for it, batch in enumerate(logger.log_every(loader.epoch(epoch), 20,
+                                                header, total=steps)):
+        if put_batch is not None:
+            batch = put_batch(batch)
+        rng = jax.random.fold_in(base_rng, epoch * steps + it)
+        state, metrics = train_step(state, batch, rng)
+
+        loss = float(metrics["loss"])
+        if not math.isfinite(loss):
+            # hard stop on divergence (reference: engine/train.py:66-68)
+            print(f"Loss is {loss}, stopping training")
+            sys.exit(1)
+
+        dice_sum = np.asarray(metrics["dice_sum"])
+        dice_cnt = np.asarray(metrics["dice_count"])
+        class_means = np.where(dice_cnt > 0, dice_sum / np.maximum(dice_cnt, 1),
+                               np.nan)
+        kw = {}
+        for c, name in enumerate(_class_meter_names(cfg.output_dim)):
+            if not np.isnan(class_means[c]):
+                kw[name] = class_means[c]
+        lr = float(warmup_cosine_lr(epoch, cfg.lr, cfg.warmup_epochs, cfg.epochs))
+        logger.update(loss=loss, mDice=np.nanmean(class_means), lr=lr, **kw)
+
+        if log_writer is not None:
+            epoch_1000x = int((it / max(steps, 1) + epoch) * 1000)
+            log_writer.add_scalar("train_loss", loss, epoch_1000x)
+            log_writer.add_scalar("lr", lr, epoch_1000x)
+
+    logger.synchronize_between_processes()
+    print("Training averaged stats:", logger.log_all_average())
+    return state, {f"train/{k}": m.global_avg for k, m in logger.meters.items()}
+
+
+def run_validation(state, model, loader, cfg: Config, epoch: int,
+                   log_writer=None):
+    """Whole-volume sliding-window validation: loss + per-class Dice
+    (reference: engine/val.py:15-110)."""
+    loss_fn = build_loss(cfg)
+    n_cls = cfg.output_dim
+    # padding value for air under normalization (reference: engine/val.py:32-35)
+    cval = (0.0 - cfg.t_norm_mean) / cfg.t_norm_std if cfg.t_normalize else 0.0
+
+    from medicalsemseg_tpu.infer.sliding_window import jitted_sliding_window
+
+    sw_run = jitted_sliding_window(model)
+    variables = {"params": state.params}
+    if jax.tree_util.tree_leaves(state.batch_stats):
+        variables["batch_stats"] = state.batch_stats
+
+    logger = MetricLogger()
+    logger.add_meter("loss", SmoothedValue(100, "{value:.6f}"))
+    logger.add_meter("mDice", SmoothedValue(100, "{value:.6f}"))
+    for name in _class_meter_names(n_cls):
+        logger.add_meter(name, SmoothedValue(100, "{value:.6f}"))
+
+    for sample in logger.log_every(loader, 5, f"Val: [{epoch}]",
+                                   total=len(loader)):
+        vol = jnp.asarray(sample.image)[None]  # (1, D, H, W, C)
+        affine_xyz = jnp.asarray(
+            np.diag(sample.original_affine)[:3], jnp.float32)[None]
+        logits = sw_run(variables, vol, affine_xyz, roi=cfg.vol_size3(),
+                        sw_batch=cfg.sw_batch_size,
+                        overlap=cfg.val_infer_overlap, mode="gaussian",
+                        cval=cval, n_classes=n_cls)
+        labels = jnp.asarray(sample.label[..., 0].astype(np.int32))[None]
+        loss = float(loss_fn(logits, labels))
+        pred = jnp.argmax(logits, axis=-1)
+        dice, not_nan = dice_per_class(pred, labels, n_cls)
+        dice = np.asarray(dice)[0]
+        not_nan = np.asarray(not_nan)[0]
+        kw = {name: dice[c] for c, name in enumerate(_class_meter_names(n_cls))
+              if not_nan[c] > 0}
+        mdice = (dice[not_nan > 0].mean() if (not_nan > 0).any() else np.nan)
+        logger.update(loss=loss, mDice=mdice, **kw)
+
+    logger.synchronize_between_processes()
+    print("Validation averaged stats:", logger.log_all_average())
+    stats = {f"val/{k}": m.global_avg for k, m in logger.meters.items()}
+    if log_writer is not None:
+        log_writer.add_scalar("val_loss", stats["val/loss"], epoch)
+        log_writer.add_scalar("val_mDice", stats["val/mDice"], epoch)
+    return stats

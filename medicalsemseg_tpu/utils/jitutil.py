@@ -25,6 +25,17 @@ def enable_compilation_cache(path: Optional[str] = None) -> None:
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
+def force_cpu() -> None:
+    """Pin JAX to the host CPU backend.
+
+    The axon TPU plugin on this machine overrides ``jax_platforms`` to
+    'axon,cpu' at import time, so the JAX_PLATFORMS env var alone does NOT
+    select CPU — the config must be updated after importing jax (and before
+    any backend initialization).
+    """
+    jax.config.update("jax_platforms", "cpu")
+
+
 def jit_init(model, rng, *args, **kwargs):
     """flax Module.init compiled as a single XLA program."""
     fn = jax.jit(functools.partial(model.init, **kwargs))

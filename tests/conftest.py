@@ -16,7 +16,15 @@ import jax  # noqa: E402
 
 import pytest  # noqa: E402
 
-from medicalsemseg_tpu.utils.jitutil import enable_compilation_cache  # noqa: E402
+from medicalsemseg_tpu.utils.jitutil import (  # noqa: E402
+    enable_compilation_cache,
+    force_cpu,
+)
+
+# The axon TPU plugin overrides jax_platforms at import, so the env var alone
+# does not pin the backend — force CPU at the config level for the simulated
+# 8-device mesh.
+force_cpu()
 
 # single-core CPU: per-op eager dispatch and recompiles are expensive — use
 # the persistent compilation cache so test compiles amortize across runs.

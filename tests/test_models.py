@@ -96,6 +96,32 @@ def test_train_mode_with_dropout_and_droppath():
     assert bool(jnp.isfinite(out).all())
 
 
+def test_segformer3d_forward_shape():
+    cfg = tiny_cfg(model="SegFormer3D", depths=(1, 1, 1, 1),
+                   num_heads=(1, 2, 4, 6))
+    model = build_model(cfg)
+    out = init_and_apply(model, make_inputs(cfg))
+    assert out.shape == (1, 32, 32, 32, 3)
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_gcvit_forward_shape():
+    cfg = tiny_cfg(model="GCViTUNETR", depths=(1, 2, 1, 2),
+                   num_heads=(2, 2, 2, 2))
+    model = build_model(cfg)
+    out = init_and_apply(model, make_inputs(cfg))
+    assert out.shape == (1, 32, 32, 32, 3)
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_focalnet_forward_shape():
+    cfg = tiny_cfg(model="FocalNetUNETR", window_size=3)
+    model = build_model(cfg)
+    out = init_and_apply(model, make_inputs(cfg))
+    assert out.shape == (1, 32, 32, 32, 3)
+    assert bool(jnp.isfinite(out).all())
+
+
 def test_unknown_model_raises():
     with pytest.raises(ValueError):
         build_model(tiny_cfg(model="UNETR_Official"))

@@ -1,0 +1,128 @@
+"""Multi-chip sharding tests on the simulated 8-device CPU mesh.
+
+The reference's distributed surface is DDP gradient/metric allreduce
+(SURVEY.md §2.4-2.5); here that is batch sharding under jit. These tests
+check: sharded-vs-single-device numerical equivalence of the train step,
+metric reductions, and the dryrun_multichip driver contract.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from medicalsemseg_tpu.config import Config
+from medicalsemseg_tpu.models import build_model
+from medicalsemseg_tpu.parallel.mesh import batch_sharding, create_mesh, replicated
+from medicalsemseg_tpu.train.state import create_train_state, make_train_step
+
+
+def _cfg():
+    return Config(model="nnFormerUNETR", vol_size=16, patch_size=2,
+                  hidden_dim=12, depths=(1, 1), num_heads=(2, 2),
+                  window_size=2, output_dim=3, compute_dtype="float32",
+                  warmup_epochs=0, lr=1e-3)
+
+
+def _batch(cfg, b, seed=0):
+    rng = np.random.default_rng(seed)
+    v = cfg.vol_size3()
+    return {
+        "image": rng.normal(size=(b, *v, 1)).astype(np.float32),
+        "label": rng.integers(0, cfg.output_dim, (b, *v)).astype(np.int32),
+        "crop_loc": np.full((b, 3), 0.5, np.float32),
+        "affine": np.ones((b, 3), np.float32),
+    }
+
+
+def test_mesh_creation(devices):
+    assert len(devices) == 8
+    mesh = create_mesh()
+    assert mesh.devices.size == 8
+    mesh2 = create_mesh((4, 2), ("data", "model"))
+    assert mesh2.axis_names == ("data", "model")
+
+
+def test_sharded_train_step_matches_single_device():
+    cfg = _cfg()
+    model = build_model(cfg)
+    batch_host = _batch(cfg, 8)
+    x_probe = (jnp.asarray(batch_host["image"][:1]),
+               jnp.asarray(batch_host["crop_loc"][:1]),
+               jnp.asarray(batch_host["affine"][:1]))
+    state, _ = create_train_state(cfg, model, jax.random.PRNGKey(0), x_probe, 10)
+    step_fn = make_train_step(cfg)
+    rng = jax.random.PRNGKey(42)
+
+    # single device
+    s1, m1 = jax.jit(step_fn)(state, {k: jnp.asarray(v) for k, v in batch_host.items()}, rng)
+
+    # 8-way data parallel
+    mesh = create_mesh()
+    data_sh = batch_sharding(mesh)
+    repl = replicated(mesh)
+    state_r = jax.device_put(state, repl)
+    batch_sharded = {k: jax.device_put(v, data_sh) for k, v in batch_host.items()}
+    step_sharded = jax.jit(step_fn, out_shardings=(repl, repl))
+    s8, m8 = step_sharded(state_r, batch_sharded, jax.device_put(rng, repl))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-5)
+    # updated parameters agree (gradient allreduce == single-device grads)
+    l1 = jax.tree_util.tree_leaves(s1.params)
+    l8 = jax.tree_util.tree_leaves(s8.params)
+    for a, b in zip(l1, l8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+
+
+def test_metric_psum_semantics():
+    # dice_sum/dice_count reduce over the sharded batch identically
+    cfg = _cfg()
+    model = build_model(cfg)
+    batch_host = _batch(cfg, 8, seed=3)
+    x_probe = (jnp.asarray(batch_host["image"][:1]),
+               jnp.asarray(batch_host["crop_loc"][:1]),
+               jnp.asarray(batch_host["affine"][:1]))
+    state, _ = create_train_state(cfg, model, jax.random.PRNGKey(1), x_probe, 10)
+    step_fn = make_train_step(cfg)
+    mesh = create_mesh()
+    repl = replicated(mesh)
+    data_sh = batch_sharding(mesh)
+    state_r = jax.device_put(state, repl)
+    bs = {k: jax.device_put(v, data_sh) for k, v in batch_host.items()}
+    _, m = jax.jit(step_fn, out_shardings=(repl, repl))(
+        state_r, bs, jax.device_put(jax.random.PRNGKey(7), repl))
+    assert np.asarray(m["dice_count"]).shape == (cfg.output_dim,)
+    assert np.asarray(m["dice_count"]).sum() > 0
+
+
+def test_dryrun_multichip_contract():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+
+
+def test_sharded_eval_forward():
+    cfg = _cfg()
+    model = build_model(cfg)
+    mesh = create_mesh()
+    data_sh = batch_sharding(mesh)
+    repl = replicated(mesh)
+    batch = _batch(cfg, 8, seed=5)
+    x_probe = (jnp.asarray(batch["image"][:1]), None, None)
+    variables = jax.jit(lambda r, x: model.init(r, x, deterministic=True))(
+        jax.random.PRNGKey(0), x_probe)
+    variables = jax.device_put(variables, repl)
+
+    def fwd(v, img):
+        return model.apply(v, (img, None, None), deterministic=True)
+
+    out = jax.jit(fwd, in_shardings=(repl, data_sh), out_shardings=data_sh)(
+        variables, jax.device_put(batch["image"], data_sh))
+    assert out.shape == (8, 16, 16, 16, 3)
+    # per-volume results equal the unsharded forward
+    out1 = jax.jit(fwd)(variables, jnp.asarray(batch["image"][:1]))
+    np.testing.assert_allclose(np.asarray(out[:1]), np.asarray(out1),
+                               rtol=2e-4, atol=2e-5)
