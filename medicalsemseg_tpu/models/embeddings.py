@@ -113,6 +113,13 @@ class LearnedClassVectors(nn.Module):
     ``searchsorted`` into a static table + a gather from the (tiny) vector
     table, instead of chained torch.where scans over flattened voxels.
 
+    Known divergence (a reference bug we fix): for patch_size > 1 the
+    reference views (B, vd, D, H, W) directly as
+    (B, vd, D/P, H/P, W/P, P, P, P) (class_embeddings.py:141), which scrambles
+    voxels across patch groups; here voxels are grouped into true P³ blocks
+    (interleaved reshape + transpose). Per-voxel vector assignment matches the
+    reference exactly (verified in tests/test_reference_parity.py).
+
     Variants (mirroring the reference flags):
       * default: per-voxel learned vector per interval, patch = flattened voxels
       * sincos_emb: per-voxel sin-cos embedding of interval-normalized intensity

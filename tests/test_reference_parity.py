@@ -1,0 +1,387 @@
+"""Numerical parity against the ACTUAL reference implementation.
+
+These tests import the reference's torch modules from /root/reference
+(read-only; used purely as a golden oracle, nothing is copied), transplant
+their randomly-initialized weights into our flax modules, and compare outputs
+on identical inputs. timm is absent in this environment, so its three used
+symbols are stubbed before import.
+
+Skipped wholesale when /root/reference or torch is unavailable.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference"
+if not os.path.isdir(REF):
+    pytest.skip("reference repo not mounted", allow_module_level=True)
+
+
+def _install_timm_stub():
+    if "timm" in sys.modules:
+        return
+    timm = types.ModuleType("timm")
+    models = types.ModuleType("timm.models")
+    layers = types.ModuleType("timm.models.layers")
+
+    def to_3tuple(x):
+        return tuple(x) if isinstance(x, (tuple, list)) else (x, x, x)
+
+    def trunc_normal_(tensor, mean=0.0, std=1.0, a=-2.0, b=2.0):
+        with torch.no_grad():
+            tensor.normal_(mean, std)
+            tensor.clamp_(min=a * std, max=b * std)
+        return tensor
+
+    class DropPath(torch.nn.Module):
+        def __init__(self, drop_prob=0.0):
+            super().__init__()
+            self.drop_prob = drop_prob
+
+        def forward(self, x):
+            return x  # eval-mode identity; parity tests run deterministic
+
+    layers.to_3tuple = to_3tuple
+    layers.trunc_normal_ = trunc_normal_
+    layers.DropPath = DropPath
+    models.layers = layers
+    timm.models = models
+    sys.modules["timm"] = timm
+    sys.modules["timm.models"] = models
+    sys.modules["timm.models.layers"] = layers
+
+
+def _install_monai_stub():
+    """Only ensure_tuple_rep is exercised by the imported reference modules;
+    the rest are import-time placeholders."""
+    if "monai" in sys.modules:
+        return
+    monai = types.ModuleType("monai")
+    networks = types.ModuleType("monai.networks")
+    blocks = types.ModuleType("monai.networks.blocks")
+    unetr_block = types.ModuleType("monai.networks.blocks.unetr_block")
+    layers_mod = types.ModuleType("monai.networks.layers")
+    utils_mod = types.ModuleType("monai.utils")
+
+    unetr_block.UnetrBasicBlock = object
+    layers_mod.Conv = {}
+
+    def ensure_tuple_rep(x, n):
+        if isinstance(x, (tuple, list)):
+            if len(x) == 1:
+                return tuple(x) * n
+            assert len(x) == n
+            return tuple(x)
+        return (x,) * n
+
+    utils_mod.ensure_tuple_rep = ensure_tuple_rep
+    monai.networks = networks
+    networks.blocks = blocks
+    blocks.unetr_block = unetr_block
+    networks.layers = layers_mod
+    monai.utils = utils_mod
+    for name, mod in [("monai", monai), ("monai.networks", networks),
+                      ("monai.networks.blocks", blocks),
+                      ("monai.networks.blocks.unetr_block", unetr_block),
+                      ("monai.networks.layers", layers_mod),
+                      ("monai.utils", utils_mod)]:
+        sys.modules[name] = mod
+
+
+_install_timm_stub()
+_install_monai_stub()
+if REF not in sys.path:
+    sys.path.insert(0, REF)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+def t2j(t):
+    return jnp.asarray(t.detach().numpy())
+
+
+def dense_params(lin):
+    p = {"kernel": t2j(lin.weight).T}
+    if lin.bias is not None:
+        p["bias"] = t2j(lin.bias)
+    return p
+
+
+def conv_params(conv):
+    # torch (O, I, k, k, k) -> flax (k, k, k, I, O)
+    p = {"kernel": t2j(conv.weight).transpose(2, 3, 4, 1, 0)}
+    if conv.bias is not None:
+        p["bias"] = t2j(conv.bias)
+    return p
+
+
+def ln_params(ln):
+    return {"LayerNorm_0": {"scale": t2j(ln.weight), "bias": t2j(ln.bias)}}
+
+
+def test_window_attention_parity():
+    from models.backbones.swin_nnformer import WindowAttention as RefAttn
+
+    from medicalsemseg_tpu.models.swin import WindowAttention
+
+    torch.manual_seed(0)
+    dim, heads, ws = 12, 2, (2, 2, 2)
+    ref = RefAttn(dim, ws, heads, qkv_bias=True).eval()
+
+    ours = WindowAttention(dim=dim, window_size=ws, num_heads=heads,
+                           n_windows=4, qkv_bias=True)
+    x = np.random.default_rng(0).normal(size=(8, 8, dim)).astype(np.float32)
+
+    params = {
+        "qkv": dense_params(ref.qkv),
+        "proj": dense_params(ref.proj),
+        "relative_position_bias_table": t2j(ref.relative_position_bias_table),
+    }
+    # check index tables agree first
+    from medicalsemseg_tpu.ops.window import relative_position_index
+
+    np.testing.assert_array_equal(
+        relative_position_index(ws),
+        ref.relative_position_index.numpy())
+
+    with torch.no_grad():
+        want, _ = ref(torch.from_numpy(x))
+    got, _ = ours.apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), rtol=2e-5,
+                               atol=2e-5)
+
+
+def test_window_attention_parity_with_mask():
+    from models.backbones.swin_nnformer import WindowAttention as RefAttn
+
+    from medicalsemseg_tpu.models.swin import WindowAttention
+    from medicalsemseg_tpu.ops.window import shift_window_attn_mask
+
+    torch.manual_seed(1)
+    dim, heads, ws = 6, 2, (2, 2, 2)
+    ref = RefAttn(dim, ws, heads, qkv_bias=False).eval()
+    ours = WindowAttention(dim=dim, window_size=ws, num_heads=heads,
+                           n_windows=8, qkv_bias=False)
+    nW = 8
+    x = np.random.default_rng(1).normal(size=(nW * 2, 8, dim)).astype(np.float32)
+    mask = shift_window_attn_mask((4, 4, 4), 2, 1)
+
+    params = {
+        "qkv": dense_params(ref.qkv),
+        "proj": dense_params(ref.proj),
+        "relative_position_bias_table": t2j(ref.relative_position_bias_table),
+    }
+    with torch.no_grad():
+        want, _ = ref(torch.from_numpy(x),
+                      mask=torch.from_numpy(np.asarray(mask)))
+    got, _ = ours.apply({"params": params}, jnp.asarray(x),
+                        mask=mask)
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), rtol=2e-5,
+                               atol=2e-5)
+
+
+def _ref_encoder(**kw):
+    from models.backbones.swin_nnformer import SwinTransformerNNFormer
+
+    defaults = dict(pretrain_img_size=(16, 16, 16), patch_size=(2, 2, 2),
+                    in_chans=1, embed_dim=12, depths=[1, 1], num_heads=[2, 2],
+                    window_size=[2, 2], qkv_bias=True, drop_path_rate=0.0)
+    defaults.update(kw)
+    return SwinTransformerNNFormer(**defaults).eval()
+
+
+def _port_encoder_params(ref):
+    """Transplant reference SwinTransformerNNFormer weights into our
+    SwinEncoder3D parameter tree."""
+    params = {
+        "patch_embed": {
+            "Conv_0": conv_params(ref.patch_embed.proj),
+            "LayerNorm_0": ln_params(ref.patch_embed.norm),
+        },
+    }
+    for i, layer in enumerate(ref.layers):
+        lp = {}
+        for j, blk in enumerate(layer.blocks):
+            lp[f"blocks_{j}"] = {
+                "LayerNorm_0": ln_params(blk.norm1),
+                "LayerNorm_1": ln_params(blk.norm2),
+                "attn": {
+                    "qkv": dense_params(blk.attn.qkv),
+                    "proj": dense_params(blk.attn.proj),
+                    "relative_position_bias_table":
+                        t2j(blk.attn.relative_position_bias_table),
+                },
+                "Mlp_0": {
+                    "Dense_0": dense_params(blk.mlp.fc1),
+                    "Dense_1": dense_params(blk.mlp.fc2),
+                },
+            }
+        lp["downsample"] = {
+            "LayerNorm_0": ln_params(layer.downsample.norm),
+            "reduction": {"Conv_0": conv_params(layer.downsample.reduction)},
+        }
+        params[f"layers_{i}"] = lp
+    for i in range(len(ref.layers)):
+        params[f"norm{i}"] = ln_params(getattr(ref, f"norm{i}"))
+    return params
+
+
+def test_full_encoder_parity():
+    from medicalsemseg_tpu.models.swin import SwinEncoder3D
+
+    torch.manual_seed(2)
+    ref = _ref_encoder()
+    ours = SwinEncoder3D(patch_size=(2, 2, 2), embed_dim=12, depths=(1, 1),
+                         num_heads=(2, 2), window_sizes=(2, 2), qkv_bias=True,
+                         drop_path_rate=0.0)
+    params = _port_encoder_params(ref)
+
+    rng = np.random.default_rng(2)
+    vol = rng.normal(size=(2, 16, 16, 16, 1)).astype(np.float32)
+    vol_t = torch.from_numpy(vol.transpose(0, 4, 1, 2, 3))  # NCDHW
+
+    with torch.no_grad():
+        want = ref((vol_t, None, None))
+    got = ours.apply({"params": params}, (jnp.asarray(vol), None, None),
+                     deterministic=True)
+
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        w_cl = w.numpy().transpose(0, 2, 3, 4, 1)  # -> channels-last
+        np.testing.assert_allclose(np.asarray(g), w_cl, rtol=3e-4, atol=3e-5)
+
+
+def test_encoder_parity_shifted_windows():
+    """Deeper blocks exercise SW-MSA (shift + mask) paths."""
+    from medicalsemseg_tpu.models.swin import SwinEncoder3D
+
+    torch.manual_seed(3)
+    ref = _ref_encoder(depths=[2, 2], window_size=[2, 2],
+                       pretrain_img_size=(16, 16, 16))
+    ours = SwinEncoder3D(patch_size=(2, 2, 2), embed_dim=12, depths=(2, 2),
+                         num_heads=(2, 2), window_sizes=(2, 2), qkv_bias=True,
+                         drop_path_rate=0.0)
+    params = _port_encoder_params(ref)
+    rng = np.random.default_rng(3)
+    vol = rng.normal(size=(1, 16, 16, 16, 1)).astype(np.float32)
+    with torch.no_grad():
+        want = ref((torch.from_numpy(vol.transpose(0, 4, 1, 2, 3)), None, None))
+    got = ours.apply({"params": params}, (jnp.asarray(vol), None, None))
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g),
+                                   w.numpy().transpose(0, 2, 3, 4, 1),
+                                   rtol=3e-4, atol=3e-5)
+
+
+def test_lcv_parity_default_and_linear_comb():
+    """Per-voxel vector parity with patch_size=1.
+
+    NOTE: patch grouping deliberately diverges at patch_size > 1 — the
+    reference views (B, vd, D, H, W) directly as
+    (B, vd, D/P, H/P, W/P, P, P, P) (class_embeddings.py:141), which scrambles
+    voxels across patch groups (e.g. for D=H=W=4, P=2 its patch element
+    (f=1, g=0) is voxel (0, 0, 2), not (0, 1, 0)). We group correctly; the
+    per-voxel interval->vector assignment (tested here) matches exactly.
+    """
+    from models.blocks.class_embeddings import LearnedClassVectors as RefLCV
+
+    from medicalsemseg_tpu.models.embeddings import LearnedClassVectors
+
+    from medicalsemseg_tpu.models.embeddings import scale_intensity_range
+    import functools
+
+    transform = functools.partial(scale_intensity_range, a_min=-1000,
+                                  a_max=1000, b_min=0.0, b_max=1.0, clip=True)
+    rng = np.random.default_rng(4)
+    # the wired configuration feeds intensity-scaled [0,1] volumes to the LCV
+    # (model_builder.py:16-32); with raw HU inputs the reference's sentinel
+    # tmp_val=-1000 collides with the -1000 interval bound and class 0
+    # becomes unreachable (class_embeddings.py:86,165-168) - not reproduced.
+    vol = rng.uniform(0.0, 1.0, size=(1, 4, 4, 4, 1)).astype(np.float32)
+    vol_t = torch.from_numpy(vol.transpose(0, 4, 1, 2, 3))
+
+    for linear_comb in (False, True):
+        torch.manual_seed(4)
+        ref = RefLCV(patch_size=1, out_dim=5, vector_dim=5,
+                     intensity_transform=transform,
+                     linear_comb=linear_comb).eval()
+        ours = LearnedClassVectors(patch_size=(1, 1, 1), out_dim=5,
+                                   vector_dim=5, intensity_transform=transform,
+                                   linear_comb=linear_comb)
+        vectors = jnp.stack([t2j(v) for v in ref.vectors])
+        with torch.no_grad():
+            want = ref(vol_t).numpy().transpose(0, 2, 3, 4, 1)
+        got = ours.apply({"params": {"vectors": vectors}}, jnp.asarray(vol))
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5,
+                                   atol=1e-5, err_msg=f"linear_comb={linear_comb}")
+
+
+def test_lcv_parity_patch_mean_and_concat():
+    from models.blocks.class_embeddings import LearnedClassVectors as RefLCV
+
+    from medicalsemseg_tpu.models.embeddings import LearnedClassVectors
+
+    from medicalsemseg_tpu.models.embeddings import scale_intensity_range
+    import functools
+
+    transform = functools.partial(scale_intensity_range, a_min=-1000,
+                                  a_max=1000, b_min=0.0, b_max=1.0, clip=True)
+    rng = np.random.default_rng(5)
+    vol = rng.uniform(0.0, 1.0, size=(1, 4, 4, 4, 1)).astype(np.float32)
+    vol_t = torch.from_numpy(vol.transpose(0, 4, 1, 2, 3))
+
+    # patch_voxel_mean at patch 1: vector_dim == out_dim == n_intervals(13)
+    torch.manual_seed(5)
+    ref = RefLCV(patch_size=1, out_dim=13, vector_dim=13,
+                 intensity_transform=transform,
+                 patch_voxel_mean=True).eval()
+    ours = LearnedClassVectors(patch_size=(1, 1, 1), out_dim=13,
+                               vector_dim=13, intensity_transform=transform,
+                               patch_voxel_mean=True)
+    vectors = jnp.stack([t2j(v) for v in ref.vectors])
+    with torch.no_grad():
+        want = ref(vol_t).numpy().transpose(0, 2, 3, 4, 1)
+    got = ours.apply({"params": {"vectors": vectors}}, jnp.asarray(vol))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+    # concat_vector: fixed one-hot votes summed per patch
+    ref = RefLCV(patch_size=1, out_dim=13, vector_dim=13,
+                 intensity_transform=transform,
+                 concat_vector=True).eval()
+    ours = LearnedClassVectors(patch_size=(1, 1, 1), out_dim=13,
+                               vector_dim=13, intensity_transform=transform,
+                               concat_vector=True)
+    with torch.no_grad():
+        want = ref(vol_t).numpy().transpose(0, 2, 3, 4, 1)
+    got = ours.apply({"params": {}}, jnp.asarray(vol))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+
+def test_lr_scheduler_parity():
+    from models.optimizers.lr_scheduler import LinearWarmupCosineAnnealingLR
+
+    from medicalsemseg_tpu.train.schedule import warmup_cosine_lr
+
+    import warnings
+
+    base_lr, warm, total = 4e-4, 40, 200
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=base_lr)
+    sched = LinearWarmupCosineAnnealingLR(opt, warmup_epochs=warm,
+                                          max_epochs=total)
+    ref_lrs = []
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        for _ in range(total):
+            ref_lrs.append(opt.param_groups[0]["lr"])
+            sched.step()
+    ours = [float(warmup_cosine_lr(e, base_lr, warm, total))
+            for e in range(total)]
+    np.testing.assert_allclose(ours, ref_lrs, rtol=1e-6, atol=1e-9)
