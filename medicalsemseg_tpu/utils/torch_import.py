@@ -1,0 +1,200 @@
+"""Import reference PyTorch checkpoints into flax parameter trees.
+
+The reference saves `{'model': state_dict, 'optimizer', 'epoch', ...}` via
+torch.save (reference: utils/misc.py:268-285). This module converts the
+`model` state_dict of the flagship combo (SwinTransformerNNFormer encoder +
+MONAI SwinUNETRCustom decoder) into this framework's parameter tree, enabling
+bit-parity evaluation of reference-trained weights on TPU.
+
+Layout conversions (torch -> flax):
+  Linear  (O, I)            -> kernel (I, O)
+  Conv3d  (O, I, k, k, k)   -> kernel (k, k, k, I, O)
+  ConvTranspose3d (I,O,k..) -> kernel (k, k, k, I, O), spatially flipped
+    (verified numerically in tests/test_torch_import.py — flax ConvTranspose
+    cross-correlates where torch convolves)
+  LayerNorm weight/bias     -> scale/bias (nested under the fp32 wrapper)
+  InstanceNorm3d weight/bias-> scale/bias
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def _np(t) -> np.ndarray:
+    if hasattr(t, "detach"):
+        return t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
+def dense(sd: Dict, prefix: str) -> Dict:
+    p = {"kernel": _np(sd[f"{prefix}.weight"]).T}
+    if f"{prefix}.bias" in sd:
+        p["bias"] = _np(sd[f"{prefix}.bias"])
+    return p
+
+
+def conv(sd: Dict, prefix: str) -> Dict:
+    p = {"kernel": _np(sd[f"{prefix}.weight"]).transpose(2, 3, 4, 1, 0)}
+    if f"{prefix}.bias" in sd:
+        p["bias"] = _np(sd[f"{prefix}.bias"])
+    return p
+
+
+def conv_transpose(sd: Dict, prefix: str) -> Dict:
+    w = _np(sd[f"{prefix}.weight"])  # (I, O, k, k, k)
+    k = w.transpose(2, 3, 4, 0, 1)[::-1, ::-1, ::-1]  # flip spatial dims
+    p = {"kernel": np.ascontiguousarray(k)}
+    if f"{prefix}.bias" in sd:
+        p["bias"] = _np(sd[f"{prefix}.bias"])
+    return p
+
+
+def layer_norm(sd: Dict, prefix: str) -> Dict:
+    return {"LayerNorm_0": {"scale": _np(sd[f"{prefix}.weight"]),
+                            "bias": _np(sd[f"{prefix}.bias"])}}
+
+
+def instance_norm(sd: Dict, prefix: str) -> Dict:
+    if f"{prefix}.weight" in sd:
+        return {"scale": _np(sd[f"{prefix}.weight"]),
+                "bias": _np(sd[f"{prefix}.bias"])}
+    # non-affine InstanceNorm in the checkpoint: identity affine here
+    return {}
+
+
+def _strip_module_prefix(sd: Dict) -> Dict:
+    """Remove DDP 'module.' prefixes (reference wraps in DDP,
+    run_training.py:84)."""
+    if any(k.startswith("module.") for k in sd):
+        return {k[len("module."):] if k.startswith("module.") else k: v
+                for k, v in sd.items()}
+    return sd
+
+
+def import_swin_encoder(sd: Dict, prefix: str = "encoder.",
+                        num_layers: int = 4) -> Dict:
+    """SwinTransformerNNFormer state_dict -> SwinEncoder3D params."""
+    sd = _strip_module_prefix(sd)
+    g = lambda name: prefix + name  # noqa: E731
+    params: Dict = {}
+
+    if g("patch_embed.proj.weight") in sd:
+        pe = {"Conv_0": conv(sd, g("patch_embed.proj"))}
+        if g("patch_embed.norm.weight") in sd:
+            pe["LayerNorm_0"] = layer_norm(sd, g("patch_embed.norm"))
+        params["patch_embed"] = pe
+
+    if g("rel_crop_pos_emb.weight") in sd:
+        params["rel_crop_pos_emb"] = dense(sd, g("rel_crop_pos_emb"))
+    if g("global_token") in sd:
+        params["global_token"] = _np(sd[g("global_token")])
+    # LCV learned vectors (ParameterList entries)
+    lcv_vecs = []
+    k = 0
+    while g(f"lcv.vectors.{k}") in sd:
+        lcv_vecs.append(_np(sd[g(f"lcv.vectors.{k}")]))
+        k += 1
+    if lcv_vecs:
+        lcv: Dict = {"vectors": np.stack(lcv_vecs)}
+        if g("lcv.fc.weight") in sd:
+            lcv["fc"] = dense(sd, g("lcv.fc"))
+        params["lcv"] = lcv
+
+    i = 0
+    while g(f"layers.{i}.blocks.0.norm1.weight") in sd:
+        lp: Dict = {}
+        j = 0
+        while g(f"layers.{i}.blocks.{j}.norm1.weight") in sd:
+            base = g(f"layers.{i}.blocks.{j}")
+            attn = {
+                "qkv": dense(sd, f"{base}.attn.qkv"),
+                "proj": dense(sd, f"{base}.attn.proj"),
+                "relative_position_bias_table":
+                    _np(sd[f"{base}.attn.relative_position_bias_table"]),
+            }
+            if f"{base}.attn.rel_pos_bias_affine_emb" in sd:
+                attn["rel_pos_bias_affine_emb"] = _np(
+                    sd[f"{base}.attn.rel_pos_bias_affine_emb"])
+                attn["rel_pos_bias_affine_lin"] = dense(
+                    sd, f"{base}.attn.rel_pos_bias_affine_lin")
+            if f"{base}.attn.gt_proj.weight" in sd:
+                attn["gt_proj"] = dense(sd, f"{base}.attn.gt_proj")
+            lp[f"blocks_{j}"] = {
+                "LayerNorm_0": layer_norm(sd, f"{base}.norm1"),
+                "LayerNorm_1": layer_norm(sd, f"{base}.norm2"),
+                "attn": attn,
+                "Mlp_0": {
+                    "Dense_0": dense(sd, f"{base}.mlp.fc1"),
+                    "Dense_1": dense(sd, f"{base}.mlp.fc2"),
+                },
+            }
+            j += 1
+        lp["downsample"] = {
+            "LayerNorm_0": layer_norm(sd, g(f"layers.{i}.downsample.norm")),
+            "reduction": {"Conv_0": conv(sd, g(f"layers.{i}.downsample.reduction"))},
+        }
+        if g(f"layers.{i}.gt_upsample.weight") in sd:
+            lp["gt_upsample"] = dense(sd, g(f"layers.{i}.gt_upsample"))
+        params[f"layers_{i}"] = lp
+        i += 1
+
+    for k in range(num_layers):
+        if g(f"norm{k}.weight") in sd:
+            params[f"norm{k}"] = layer_norm(sd, g(f"norm{k}"))
+    return params
+
+
+def _res_block(sd: Dict, prefix: str) -> Dict:
+    """MONAI UnetResBlock (inside UnetrBasicBlock '.layer' or UnetrUpBlock
+    '.conv_block') -> our UnetResBlock params."""
+    out = {
+        "conv1": {"Conv_0": conv(sd, f"{prefix}.conv1.conv")},
+        "norm1": instance_norm(sd, f"{prefix}.norm1"),
+        "conv2": {"Conv_0": conv(sd, f"{prefix}.conv2.conv")},
+        "norm2": instance_norm(sd, f"{prefix}.norm2"),
+    }
+    if f"{prefix}.conv3.conv.weight" in sd:
+        out["conv3"] = {"Conv_0": conv(sd, f"{prefix}.conv3.conv")}
+        out["norm3"] = instance_norm(sd, f"{prefix}.norm3")
+    return out
+
+
+def import_unetr_decoder(sd: Dict, num_layers: int = 4) -> Dict:
+    """MONAI-block decoder of reference SwinUNETRCustom -> SwinUNETRDecoder
+    params (reference: models/segmentors/swin_unetr.py:70-130)."""
+    sd = _strip_module_prefix(sd)
+    params: Dict = {}
+    # unet_encoders: [encoder0(raw vol), encoder1(stem), enc per stage...]
+    for k in range(num_layers + 2):
+        params[f"encoder{k}"] = _res_block(sd, f"unet_encoders.{k}.layer")
+    # unet_decoders: [decoder0(patch upsample), dec per stage...]
+    for k in range(num_layers + 1):
+        params[f"decoder{k}"] = {
+            "transp_conv": {"ConvTranspose_0": conv_transpose(
+                sd, f"unet_decoders.{k}.transp_conv.conv")},
+            "conv_block": _res_block(sd, f"unet_decoders.{k}.conv_block"),
+        }
+    params["out"] = {"conv": {"Conv_0": conv(sd, "out.conv.conv")}}
+    return params
+
+
+def import_swin_unetr_checkpoint(state_dict: Dict, num_layers: int = 4) -> Dict:
+    """Full flagship model: {'encoder': ..., 'decoder': ...} parameter tree."""
+    sd = _strip_module_prefix(state_dict)
+    return {
+        "encoder": import_swin_encoder(sd, "encoder.", num_layers),
+        "decoder": import_unetr_decoder(sd, num_layers),
+    }
+
+
+def load_reference_pth(path: str) -> Dict:
+    """torch.load a reference checkpoint file and return the model state_dict."""
+    import torch
+
+    payload = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(payload, dict) and "model" in payload:
+        return payload["model"]
+    return payload
