@@ -58,20 +58,37 @@ def main():
     variables = jax.jit(lambda r, x: model.init(r, x, deterministic=True))(
         jax.random.PRNGKey(0), x_probe)
 
-    from medicalsemseg_tpu.infer.sliding_window import jitted_sliding_window
+    from medicalsemseg_tpu.infer.sliding_window import sliding_window_inference
 
-    run = jitted_sliding_window(model)
-    kw = dict(roi=ROI, sw_batch=SW_BATCH, overlap=OVERLAP, mode="gaussian",
-              n_classes=cfg.output_dim)
-    out = run(variables, vol, affine, **kw)  # compile + warm
-    out.block_until_ready()
+    @jax.jit
+    def run(variables, vol, affine, salt):
+        def predictor(model_in):
+            return model.apply(variables, model_in, deterministic=True)
 
-    n_iters = 3
+        out = sliding_window_inference(
+            vol + salt * 1e-4, affine, ROI, SW_BATCH, predictor,
+            overlap=OVERLAP, mode="gaussian", n_classes=cfg.output_dim)
+        # scalar checksum forces completion through the host readback —
+        # block_until_ready does not actually block on the axon tunnel
+        return out.mean()
+
+    vol = jax.device_put(vol)  # resident once; iterations vary only a scalar
+    _ = float(run(variables, vol, affine, jnp.float32(0)))  # compile + warm
+
+    # measured tunnel round-trip is subtracted via a trivial jitted readback
+    trivial = jax.jit(lambda x: x.sum())
+    _ = float(trivial(jnp.ones(8)))
+    t0 = time.time()
+    for _ in range(5):
+        _ = float(trivial(jnp.ones(8)))
+    rt = (time.time() - t0) / 5
+
+    n_iters = 5
     t0 = time.time()
     for i in range(n_iters):
-        out = run(variables, vol + i * 1e-4, affine, **kw)
-    out.block_until_ready()
-    dt = (time.time() - t0) / n_iters
+        _ = float(run(variables, vol, affine, jnp.float32(i)))
+    dt = (time.time() - t0) / n_iters - rt
+    assert dt > 0, "timing anomaly: round-trip exceeded measured iteration"
 
     vols_per_sec = 1.0 / dt
 

@@ -153,6 +153,8 @@ class Config:
     sw_batch_size: int = 4  # windows per sliding-window predictor call
     mesh_shape: Optional[Tuple[int, ...]] = None  # defaults to (n_devices,) data-parallel
     drop_path_rate: float = 0.2
+    use_pallas_attention: bool = True  # fused window-attention kernel on TPU
+    # (inference paths of the Swin-family encoders; XLA path elsewhere)
 
     # ---------------- derived helpers ----------------
     def vol_size3(self) -> Tuple[int, int, int]:
@@ -290,6 +292,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["bfloat16", "float32"])
     g.add_argument("--sw_batch_size", type=int, default=4)
     g.add_argument("--drop_path_rate", type=float, default=0.2)
+    _add_bool_flag(g, "use_pallas_attention", True,
+                   false_flag="--no_pallas_attention")
 
     return p
 

@@ -46,6 +46,15 @@ def _compute_dtype(cfg: Config):
     return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
 
+def _use_pallas(cfg: Config) -> bool:
+    """Fused Pallas attention only on real TPU backends (CPU pallas would
+    need interpreter mode)."""
+    import jax
+
+    return bool(cfg.use_pallas_attention) and jax.default_backend() not in (
+        "cpu",)
+
+
 def _swin_encoder(cfg: Config, mlp_type: str) -> SwinEncoder3D:
     return SwinEncoder3D(
         patch_size=cfg.patch_size3(),
@@ -71,6 +80,7 @@ def _swin_encoder(cfg: Config, mlp_type: str) -> SwinEncoder3D:
         rel_pos_bias_affine=cfg.rel_pos_bias_affine,
         use_abs_pos_emb=cfg.abs_pos_emb,
         global_token=cfg.global_token,
+        use_pallas=_use_pallas(cfg),
         dtype=_compute_dtype(cfg),
     )
 
@@ -101,7 +111,8 @@ def build_model(cfg: Config) -> nn.Module:
             embed_dim=cfg.hidden_dim, depths=tuple(cfg.depths),
             num_heads=tuple(cfg.num_heads), window_sizes=cfg.window_sizes(),
             qkv_bias=cfg.qkv_bias, use_abs_pos_emb=cfg.abs_pos_emb,
-            drop_path_rate=cfg.drop_path_rate, dtype=dtype)
+            drop_path_rate=cfg.drop_path_rate,
+            use_pallas=_use_pallas(cfg), dtype=dtype)
         return SegFormerHead(encoder=encoder, num_classes=cfg.output_dim,
                              dtype=dtype)
 

@@ -84,16 +84,49 @@ class WindowAttention(nn.Module):
     global_token: bool = False
     dtype: Dtype = jnp.float32
 
+    def qkv_params(self):
+        """Raw projection parameters — shared by the XLA path here and the
+        fused Pallas kernel (ops/pallas/window_attention.py)."""
+        c = self.dim
+        wqkv = self.param("qkv_kernel", trunc_normal_init, (c, 3 * c),
+                          jnp.float32)
+        bqkv = (self.param("qkv_bias", nn.initializers.zeros, (3 * c,),
+                           jnp.float32) if self.qkv_bias else None)
+        wproj = self.param("proj_kernel", trunc_normal_init, (c, c),
+                           jnp.float32)
+        bproj = self.param("proj_bias", nn.initializers.zeros, (c,),
+                           jnp.float32)
+        return wqkv, bqkv, wproj, bproj
+
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
                  affine: Optional[jnp.ndarray] = None,
                  gt: Optional[jnp.ndarray] = None,
-                 deterministic: bool = True):
-        b_, n_tok, c = x.shape
+                 deterministic: bool = True,
+                 x_volume: Optional[jnp.ndarray] = None,
+                 shift_size: int = 0):
         nh = self.num_heads
+        n_attn = int(np.prod(self.window_size))
+
+        wqkv, bqkv, wproj, bproj = self.qkv_params()
+        table_size = int(np.prod([2 * w - 1 for w in self.window_size]))
+        rel_table = self.param("relative_position_bias_table",
+                               trunc_normal_init, (table_size, nh), jnp.float32)
+
+        if x_volume is not None:
+            # fused Pallas path: partition+qkv+attention+proj+reverse in one
+            # kernel over the (already padded/rolled) volume
+            from medicalsemseg_tpu.ops.pallas.window_attention import (
+                fused_window_attention)
+
+            out_vol = fused_window_attention(
+                x_volume.astype(self.dtype), wqkv, bqkv, wproj, bproj,
+                rel_table, self.window_size[0], nh, shift_size=shift_size)
+            return out_vol, gt
+
+        b_, n_tok, c = x.shape
         hd = c // nh
         scale = hd ** -0.5
-        n_attn = int(np.prod(self.window_size))
         assert n_tok == n_attn
 
         n = n_tok
@@ -106,17 +139,15 @@ class WindowAttention(nn.Module):
             x = jnp.concatenate([x, gtw.astype(x.dtype)], axis=1)
             n = n_tok + 1
 
-        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
-                       kernel_init=trunc_normal_init, name="qkv")(x)
+        qkv = jnp.dot(x, wqkv.astype(self.dtype))
+        if bqkv is not None:
+            qkv = qkv + bqkv.astype(self.dtype)
         qkv = qkv.reshape(b_, n, 3, nh, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
 
         attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k,
                           preferred_element_type=jnp.float32)
 
-        table_size = int(np.prod([2 * w - 1 for w in self.window_size]))
-        rel_table = self.param("relative_position_bias_table",
-                               trunc_normal_init, (table_size, nh), jnp.float32)
         rel_idx = jnp.asarray(relative_position_index(tuple(self.window_size)))
         rel_bias = rel_table[rel_idx]  # (N, N, nh)
         rel_bias = rel_bias.transpose(2, 0, 1)[None]  # (1, nh, N, N)
@@ -154,8 +185,7 @@ class WindowAttention(nn.Module):
 
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
-        out = nn.Dense(c, dtype=self.dtype, kernel_init=trunc_normal_init,
-                       name="proj")(out)
+        out = jnp.dot(out, wproj.astype(self.dtype)) + bproj.astype(self.dtype)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
 
         new_gt = None
@@ -189,6 +219,7 @@ class SwinBlock(nn.Module):
     rel_pos_bias_affine: bool = False
     global_token: bool = False
     mlp_type: str = "dense"
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -204,12 +235,8 @@ class SwinBlock(nn.Module):
 
         if ss > 0:
             xn = jnp.roll(xn, shift=(-ss, -ss, -ss), axis=(1, 2, 3))
-            mask = shift_window_attn_mask((dp, hp, wp), ws, ss)
-        else:
-            mask = None
 
         n_windows = (dp // ws) * (hp // ws) * (wp // ws)
-        x_win = window_partition(xn, ws)  # (B*nW, ws³, C)
 
         attn = WindowAttention(
             dim=c, window_size=(ws, ws, ws), num_heads=self.num_heads,
@@ -217,10 +244,21 @@ class SwinBlock(nn.Module):
             attn_drop=self.attn_drop, proj_drop=self.drop,
             rel_pos_bias_affine=self.rel_pos_bias_affine,
             global_token=self.global_token, dtype=self.dtype, name="attn")
-        x_win, gt = attn(x_win, mask=mask, affine=affine, gt=gt,
-                         deterministic=deterministic)
 
-        xn = window_reverse(x_win, ws, (dp, hp, wp))
+        # the fused Pallas kernel covers the plain path (no global token,
+        # no affine bias, no attention dropout)
+        fuse = (self.use_pallas and not self.global_token
+                and not self.rel_pos_bias_affine and deterministic)
+        if fuse:
+            xn, gt = attn(None, gt=gt, deterministic=deterministic,
+                          x_volume=xn, shift_size=ss)
+        else:
+            mask = (shift_window_attn_mask((dp, hp, wp), ws, ss)
+                    if ss > 0 else None)
+            x_win = window_partition(xn, ws)  # (B*nW, ws³, C)
+            x_win, gt = attn(x_win, mask=mask, affine=affine, gt=gt,
+                             deterministic=deterministic)
+            xn = window_reverse(x_win, ws, (dp, hp, wp))
         if ss > 0:
             xn = jnp.roll(xn, shift=(ss, ss, ss), axis=(1, 2, 3))
         if (dp, hp, wp) != (d, h, w):
@@ -269,6 +307,7 @@ class BasicLayer(nn.Module):
     rel_pos_bias_affine: bool = False
     global_token: bool = False
     mlp_type: str = "dense"
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -284,6 +323,7 @@ class BasicLayer(nn.Module):
                 drop_path_rate=self.drop_path_rates[i],
                 rel_pos_bias_affine=self.rel_pos_bias_affine,
                 global_token=self.global_token, mlp_type=self.mlp_type,
+                use_pallas=self.use_pallas,
                 dtype=self.dtype, name=f"blocks_{i}")(
                     x, affine=affine, gt=gt, deterministic=deterministic)
         x_down = PatchMerging(dim=self.dim, dtype=self.dtype, name="downsample")(x)
@@ -330,6 +370,7 @@ class SwinEncoder3D(nn.Module):
     rel_pos_bias_affine: bool = False
     use_abs_pos_emb: bool = False
     global_token: bool = False
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     @property
@@ -409,6 +450,7 @@ class SwinEncoder3D(nn.Module):
                 drop_path_rates=dpr[sum(self.depths[:i]):sum(self.depths[:i + 1])],
                 rel_pos_bias_affine=self.rel_pos_bias_affine,
                 global_token=self.global_token, mlp_type=self.mlp_type,
+                use_pallas=self.use_pallas,
                 dtype=self.dtype, name=f"layers_{i}")(
                     x, affine=affine, gt=gt, deterministic=deterministic)
             # the reference norms the *downsampled* tensor as the stage output

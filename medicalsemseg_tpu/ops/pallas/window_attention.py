@@ -1,0 +1,181 @@
+"""Fused 3D windowed attention as a Pallas TPU kernel.
+
+Replaces the XLA chain
+    qkv dense -> QK^T -> +bias/+mask -> softmax -> @V -> proj dense
+per window (reference hot loop #2, models/backbones/swin_nnformer.py:235-289)
+with ONE kernel: each program instance owns a tile of windows resident in
+VMEM, runs the QKV projection, attention (fp32 logits + softmax in VMEM — the
+(N, N) attention matrices never touch HBM), and the output projection.
+
+SW-MSA masking is computed IN-KERNEL from the window's grid coordinates: a
+token pair is visible iff its pre-shift region labels match along every axis,
+and the labels depend only on (is this the last window along the axis?, token
+position) — three VPU compares per pair. The reference materializes a
+(nW, N, N) mask tensor on device every forward
+(swin_nnformer.py:370-395; ~95 MB fp32 at the flagship stage-0 shape); here
+the mask never exists in memory at all.
+
+Window partition/reverse remain XLA reshapes outside the kernel (their block
+shapes violate the TPU (8, 128) tile constraint for window_size 6; XLA fuses
+them into the surrounding ops). The cyclic shift stays an XLA roll.
+
+v1 is forward-only (used on inference/validation paths); training uses the
+XLA path until a custom VJP pairs with this kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from medicalsemseg_tpu.ops.window import (
+    relative_position_index,
+    window_partition,
+    window_reverse,
+)
+
+
+
+
+def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref,
+            out_ref, *, num_heads: int, wpb: int, shifted: bool,
+            grid_dims: Tuple[int, int, int], ws: int, ss: int):
+    """A tile of `wpb` windows: qkv -> per-head attention -> proj. All VMEM."""
+    n = x_ref.shape[1]
+    c = x_ref.shape[-1]
+    hd = c // num_heads
+    scale = hd ** -0.5
+
+    xw = x_ref[:].reshape(wpb * n, c)
+    qkv = jnp.dot(xw, wqkv_ref[:], preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[:]).astype(x_ref.dtype)
+    qkv = qkv.reshape(wpb, n, 3 * c)
+
+    if shifted:
+        nwd, nwh, nww = grid_dims
+        blk = pl.program_id(0)
+        g0 = blk * wpb
+        gids = g0 + jax.lax.broadcasted_iota(jnp.int32, (wpb, 1), 0)[:, 0]
+        # batch-major window ordering: g = ((b*nwd + i)*nwh + j)*nww + k
+        kk = gids % nww
+        jj = (gids // nww) % nwh
+        ii = (gids // (nww * nwh)) % nwd
+        # per-token coordinates inside the ws^3 window, derived via iota
+        # (pallas kernels cannot capture host array constants)
+        tok = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)[0]
+        pd = tok // (ws * ws)
+        ph = (tok // ws) % ws
+        pw = tok % ws
+        # region label along an axis: 0 unless last window; there, tokens
+        # past ws-ss are wrapped from the volume start (label 2 vs 1)
+        lab = lambda pos, last, nlast: jnp.where(  # noqa: E731
+            (last == nlast - 1)[:, None],
+            jnp.where(pos[None, :] < ws - ss, 1, 2), 0)
+        ld = lab(pd, ii, nwd)  # (wpb, N)
+        lh = lab(ph, jj, nwh)
+        lw = lab(pw, kk, nww)
+        same = ((ld[:, :, None] == ld[:, None, :])
+                & (lh[:, :, None] == lh[:, None, :])
+                & (lw[:, :, None] == lw[:, None, :]))
+        mask = jnp.where(same, 0.0, -100.0)  # (wpb, N, N) fp32, VMEM-only
+    else:
+        mask = None
+
+    outs = []
+    for h in range(num_heads):
+        q = qkv[:, :, h * hd:(h + 1) * hd]
+        k = qkv[:, :, c + h * hd:c + (h + 1) * hd]
+        v = qkv[:, :, 2 * c + h * hd:2 * c + (h + 1) * hd]
+        attn = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        attn = attn + bias_ref[h][None]
+        if mask is not None:
+            attn = attn + mask
+        attn = jax.nn.softmax(attn, axis=-1).astype(x_ref.dtype)
+        outs.append(jax.lax.dot_general(
+            attn, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32))
+    out = jnp.concatenate(outs, axis=-1).astype(x_ref.dtype)
+
+    out = jnp.dot(out.reshape(wpb * n, c), wproj_ref[:],
+                  preferred_element_type=jnp.float32)
+    out = (out + bproj_ref[:]).astype(x_ref.dtype)
+    out_ref[:] = out.reshape(wpb, n, c)
+
+
+def fused_window_attention(
+    x: jnp.ndarray,
+    wqkv: jnp.ndarray,
+    bqkv: Optional[jnp.ndarray],
+    wproj: jnp.ndarray,
+    bproj: jnp.ndarray,
+    rel_bias_table: jnp.ndarray,
+    window_size: int,
+    num_heads: int,
+    shift_size: int = 0,
+    windows_per_block: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """x (B, D, H, W, C) -> attention output (B, D, H, W, C).
+
+    D/H/W must be multiples of window_size (callers pad first, as the XLA
+    path does). When shift_size > 0, x must already be cyclically rolled by
+    -shift_size; the SW-MSA mask is derived in-kernel.
+    """
+    b, d, h, w, c = x.shape
+    ws = window_size
+    n = ws ** 3
+    grid_dims = (d // ws, h // ws, w // ws)
+    total = b * int(np.prod(grid_dims))
+
+    # fit the window tile into scoped VMEM (16 MB limit): the rel-pos bias is
+    # shared; per window the working set is qkv (fp32 + bf16 copies), two
+    # live (N, N) attention buffers (fp32 + bf16), and x/out/proj tiles
+    bias_bytes = num_heads * n * n * 4
+    per_win = n * 3 * c * 6 + 2 * n * n * 6 + n * c * 12
+    budget = 8 * 1024 * 1024
+    wpb_fit = max(int((budget - bias_bytes) // max(per_win, 1)), 1)
+    wpb = max(min(windows_per_block, wpb_fit), 1)
+    while total % wpb != 0:
+        wpb -= 1
+
+    if bqkv is None:
+        bqkv = jnp.zeros((3 * c,), jnp.float32)
+
+    idx = relative_position_index((ws, ws, ws))
+    bias = rel_bias_table[jnp.asarray(idx.reshape(-1))]
+    bias = bias.reshape(n, n, num_heads).transpose(2, 0, 1)  # (nh, N, N)
+    bias = bias.astype(jnp.float32)
+
+    wins = window_partition(x, ws)  # (total, N, C)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, num_heads=num_heads, wpb=wpb,
+                          shifted=shift_size > 0, grid_dims=grid_dims,
+                          ws=ws, ss=shift_size),
+        grid=(total // wpb,),
+        in_specs=[
+            pl.BlockSpec((wpb, n, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 3 * c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * c,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_heads, n, n), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((wpb, n, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((total, n, c), x.dtype),
+        interpret=interpret,
+    )(wins, wqkv.astype(x.dtype), bqkv.astype(jnp.float32),
+      wproj.astype(x.dtype), bproj.astype(jnp.float32), bias)
+    return window_reverse(out, ws, (d, h, w))

@@ -110,11 +110,14 @@ def import_swin_encoder(sd: Dict, prefix: str = "encoder.",
         while g(f"layers.{i}.blocks.{j}.norm1.weight") in sd:
             base = g(f"layers.{i}.blocks.{j}")
             attn = {
-                "qkv": dense(sd, f"{base}.attn.qkv"),
-                "proj": dense(sd, f"{base}.attn.proj"),
+                "qkv_kernel": _np(sd[f"{base}.attn.qkv.weight"]).T,
+                "proj_kernel": _np(sd[f"{base}.attn.proj.weight"]).T,
+                "proj_bias": _np(sd[f"{base}.attn.proj.bias"]),
                 "relative_position_bias_table":
                     _np(sd[f"{base}.attn.relative_position_bias_table"]),
             }
+            if f"{base}.attn.qkv.bias" in sd:
+                attn["qkv_bias"] = _np(sd[f"{base}.attn.qkv.bias"])
             if f"{base}.attn.rel_pos_bias_affine_emb" in sd:
                 attn["rel_pos_bias_affine_emb"] = _np(
                     sd[f"{base}.attn.rel_pos_bias_affine_emb"])

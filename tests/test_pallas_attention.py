@@ -1,0 +1,100 @@
+"""Fused Pallas window-attention kernel vs the XLA reference path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from medicalsemseg_tpu.models.swin import WindowAttention
+from medicalsemseg_tpu.ops.pallas.window_attention import fused_window_attention
+from medicalsemseg_tpu.ops.window import (
+    shift_window_attn_mask,
+    window_partition,
+    window_reverse,
+)
+
+
+def _params(rng, c, nh, ws, qkv_bias=True):
+    table = (2 * ws - 1) ** 3
+    return {
+        "wqkv": rng.normal(size=(c, 3 * c)).astype(np.float32) * 0.1,
+        "bqkv": rng.normal(size=(3 * c,)).astype(np.float32) * 0.1
+                if qkv_bias else None,
+        "wproj": rng.normal(size=(c, c)).astype(np.float32) * 0.1,
+        "bproj": rng.normal(size=(c,)).astype(np.float32) * 0.1,
+        "table": rng.normal(size=(table, nh)).astype(np.float32) * 0.02,
+    }
+
+
+def _xla_reference(x, p, ws, nh, mask):
+    """The module's XLA path with the same raw params."""
+    attn = WindowAttention(dim=x.shape[-1], window_size=(ws, ws, ws),
+                           num_heads=nh, n_windows=0,
+                           qkv_bias=p["bqkv"] is not None)
+    params = {"qkv_kernel": p["wqkv"], "proj_kernel": p["wproj"],
+              "proj_bias": p["bproj"],
+              "relative_position_bias_table": p["table"]}
+    if p["bqkv"] is not None:
+        params["qkv_bias"] = p["bqkv"]
+    wins = window_partition(jnp.asarray(x), ws)
+    out, _ = attn.apply({"params": params}, wins, mask=mask)
+    return np.asarray(window_reverse(out, ws, x.shape[1:4]))
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_fused_kernel_matches_xla(masked):
+    rng = np.random.default_rng(0)
+    b, dims, ws, c, nh = 2, (4, 4, 8), 2, 8, 2
+    x = rng.normal(size=(b, *dims, c)).astype(np.float32)
+    p = _params(rng, c, nh, ws)
+    mask = shift_window_attn_mask(dims, ws, 1) if masked else None
+
+    want = _xla_reference(x, p, ws, nh, mask)
+    got = fused_window_attention(
+        jnp.asarray(x), jnp.asarray(p["wqkv"]), jnp.asarray(p["bqkv"]),
+        jnp.asarray(p["wproj"]), jnp.asarray(p["bproj"]),
+        jnp.asarray(p["table"]), ws, nh, shift_size=1 if masked else 0,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
+
+
+def test_fused_kernel_no_qkv_bias():
+    rng = np.random.default_rng(1)
+    b, dims, ws, c, nh = 1, (4, 4, 4), 2, 4, 1
+    x = rng.normal(size=(b, *dims, c)).astype(np.float32)
+    p = _params(rng, c, nh, ws, qkv_bias=False)
+    want = _xla_reference(x, p, ws, nh, None)
+    got = fused_window_attention(
+        jnp.asarray(x), jnp.asarray(p["wqkv"]), None,
+        jnp.asarray(p["wproj"]), jnp.asarray(p["bproj"]),
+        jnp.asarray(p["table"]), ws, nh, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
+
+
+def test_encoder_pallas_flag_matches_xla_interpret(monkeypatch):
+    """SwinEncoder3D(use_pallas=True) == use_pallas=False in interpret mode."""
+    import medicalsemseg_tpu.ops.pallas.window_attention as pwa
+
+    orig = pwa.fused_window_attention
+    monkeypatch.setattr(
+        pwa, "fused_window_attention",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+
+    from medicalsemseg_tpu.models.swin import SwinEncoder3D
+
+    kw = dict(patch_size=(2, 2, 2), embed_dim=8, depths=(1, 1),
+              num_heads=(2, 2), window_sizes=(2, 2), qkv_bias=True,
+              drop_path_rate=0.0)
+    enc_x = SwinEncoder3D(use_pallas=False, **kw)
+    enc_p = SwinEncoder3D(use_pallas=True, **kw)
+    rng = np.random.default_rng(2)
+    vol = jnp.asarray(rng.normal(size=(1, 8, 8, 8, 1)).astype(np.float32))
+    x_in = (vol, None, None)
+    variables = jax.jit(lambda r, x: enc_x.init(r, x, deterministic=True))(
+        jax.random.PRNGKey(0), x_in)
+    out_x = enc_x.apply(variables, x_in, deterministic=True)
+    out_p = enc_p.apply(variables, x_in, deterministic=True)
+    for a, b in zip(out_x, out_p):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)

@@ -126,6 +126,18 @@ def ln_params(ln):
     return {"LayerNorm_0": {"scale": t2j(ln.weight), "bias": t2j(ln.bias)}}
 
 
+def attn_params(ref_attn):
+    p = {
+        "qkv_kernel": t2j(ref_attn.qkv.weight).T,
+        "proj_kernel": t2j(ref_attn.proj.weight).T,
+        "proj_bias": t2j(ref_attn.proj.bias),
+        "relative_position_bias_table": t2j(ref_attn.relative_position_bias_table),
+    }
+    if ref_attn.qkv.bias is not None:
+        p["qkv_bias"] = t2j(ref_attn.qkv.bias)
+    return p
+
+
 def test_window_attention_parity():
     from models.backbones.swin_nnformer import WindowAttention as RefAttn
 
@@ -139,11 +151,7 @@ def test_window_attention_parity():
                            n_windows=4, qkv_bias=True)
     x = np.random.default_rng(0).normal(size=(8, 8, dim)).astype(np.float32)
 
-    params = {
-        "qkv": dense_params(ref.qkv),
-        "proj": dense_params(ref.proj),
-        "relative_position_bias_table": t2j(ref.relative_position_bias_table),
-    }
+    params = attn_params(ref)
     # check index tables agree first
     from medicalsemseg_tpu.ops.window import relative_position_index
 
@@ -173,11 +181,7 @@ def test_window_attention_parity_with_mask():
     x = np.random.default_rng(1).normal(size=(nW * 2, 8, dim)).astype(np.float32)
     mask = shift_window_attn_mask((4, 4, 4), 2, 1)
 
-    params = {
-        "qkv": dense_params(ref.qkv),
-        "proj": dense_params(ref.proj),
-        "relative_position_bias_table": t2j(ref.relative_position_bias_table),
-    }
+    params = attn_params(ref)
     with torch.no_grad():
         want, _ = ref(torch.from_numpy(x),
                       mask=torch.from_numpy(np.asarray(mask)))
@@ -212,12 +216,7 @@ def _port_encoder_params(ref):
             lp[f"blocks_{j}"] = {
                 "LayerNorm_0": ln_params(blk.norm1),
                 "LayerNorm_1": ln_params(blk.norm2),
-                "attn": {
-                    "qkv": dense_params(blk.attn.qkv),
-                    "proj": dense_params(blk.attn.proj),
-                    "relative_position_bias_table":
-                        t2j(blk.attn.relative_position_bias_table),
-                },
+                "attn": attn_params(blk.attn),
                 "Mlp_0": {
                     "Dense_0": dense_params(blk.mlp.fc1),
                     "Dense_1": dense_params(blk.mlp.fc2),

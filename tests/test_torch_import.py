@@ -121,7 +121,7 @@ def test_import_tree_matches_model_init_structure():
     # instantiating torch modules mirroring the reference structure is heavy;
     # instead check the known mapping targets exist in the init tree.
     for needle in ["['encoder']['patch_embed']['Conv_0']['kernel']",
-                   "['encoder']['layers_0']['blocks_0']['attn']['qkv']['kernel']",
+                   "['encoder']['layers_0']['blocks_0']['attn']['qkv_kernel']",
                    "['encoder']['layers_1']['downsample']['reduction']['Conv_0']['kernel']",
                    "['encoder']['norm1']['LayerNorm_0']['scale']",
                    "['decoder']['encoder0']['conv1']['Conv_0']['kernel']",
