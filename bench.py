@@ -46,9 +46,11 @@ def _load_cpu_baseline() -> float:
 
 def main():
     enable_compilation_cache()
+    use_pallas = os.environ.get("MEDSEG_BENCH_PALLAS", "1") == "1"
     cfg = Config(model="nnFormerUNETR", vol_size=96, patch_size=2,
                  hidden_dim=48, depths=(2, 2, 2, 2), num_heads=(3, 6, 12, 24),
-                 window_size=6, output_dim=14, compute_dtype="bfloat16")
+                 window_size=6, output_dim=14, compute_dtype="bfloat16",
+                 use_pallas_attention=use_pallas)
     model = build_model(cfg)
 
     rng = np.random.default_rng(0)
