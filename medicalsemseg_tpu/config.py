@@ -153,6 +153,8 @@ class Config:
     sw_batch_size: int = 4  # windows per sliding-window predictor call
     mesh_shape: Optional[Tuple[int, ...]] = None  # defaults to (n_devices,) data-parallel
     drop_path_rate: float = 0.2
+    grad_accum_steps: int = 1  # micro-batch accumulation (optax.MultiSteps);
+    # the reference steps every iteration (SURVEY.md §2.4)
     use_pallas_attention: bool = True  # fused window-attention kernel on TPU
     # inference paths only (training keeps the XLA path until a custom VJP
     # lands). +17% on the isolated attention layer and +9% on the end-to-end
@@ -296,6 +298,7 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--drop_path_rate", type=float, default=0.2)
     _add_bool_flag(g, "use_pallas_attention", True,
                    false_flag="--no_pallas_attention")
+    g.add_argument("--grad_accum_steps", type=int, default=1)
 
     return p
 

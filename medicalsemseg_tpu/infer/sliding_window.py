@@ -88,6 +88,99 @@ def constant_importance_map(roi_size: Tuple3) -> np.ndarray:
     return np.ones(roi_size, dtype=np.float32)
 
 
+def sliding_window_inference_sharded(
+    inputs: jnp.ndarray,
+    affine: jnp.ndarray,
+    roi_size: Tuple3,
+    predictor: Callable,
+    mesh,
+    overlap: float = 0.25,
+    mode: str = "gaussian",
+    sigma_scale: float = 0.125,
+    cval: float = 0.0,
+    n_classes: Optional[int] = None,
+    axis: str = "data",
+) -> jnp.ndarray:
+    """Window-parallel sliding-window inference over a device mesh.
+
+    The window grid is embarrassingly parallel until the blend reduction
+    (SURVEY.md §5.7): windows are sharded across the mesh axis, each shard
+    blends its windows into a local partial (output, count) accumulator, and
+    one psum over ICI produces the stitched volume. Single volume (B=1).
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    assert inputs.shape[0] == 1, "sharded inference stitches one volume"
+    _, d0, h0, w0, c = inputs.shape
+    roi = tuple(roi_size)
+    n_dev = mesh.shape[axis]
+
+    pads = []
+    for i, dim in enumerate((d0, h0, w0)):
+        diff = max(roi[i] - dim, 0)
+        pads.append((diff // 2, diff - diff // 2))
+    image_size = tuple(max((d0, h0, w0)[i], roi[i]) for i in range(3))
+    x = jnp.pad(inputs[0], (*pads, (0, 0)), constant_values=cval)
+
+    interval = scan_interval(image_size, roi, overlap)
+    starts = dense_patch_starts(image_size, roi, interval)
+    n_win = len(starts)
+    centers = np.stack([
+        (starts[:, i] + roi[i] - roi[i] // 2) / image_size[i] for i in range(3)
+    ], axis=1).astype(np.float32)
+
+    # pad the window list so every shard gets an equal count; padded windows
+    # blend with zero weight
+    pad_n = (-n_win) % n_dev
+    starts_p = np.concatenate([starts, np.repeat(starts[-1:], pad_n, 0)], 0)
+    centers_p = np.concatenate([centers, np.repeat(centers[-1:], pad_n, 0)], 0)
+    valid_p = np.concatenate([np.ones(n_win, np.float32),
+                              np.zeros(pad_n, np.float32)])
+
+    imap = (gaussian_importance_map(roi, sigma_scale) if mode == "gaussian"
+            else constant_importance_map(roi))
+    imap = jnp.asarray(imap)[..., None]
+    nc = n_classes
+
+    def shard_fn(x_rep, starts_sh, centers_sh, valid_sh, aff_rep):
+        out = jnp.zeros(image_size + (nc,), jnp.float32)
+        cnt = jnp.zeros(image_size + (1,), jnp.float32)
+        # the accumulators become device-varying inside the scan
+        out = jax.lax.pvary(out, (axis,))
+        cnt = jax.lax.pvary(cnt, (axis,))
+
+        def body(carry, win):
+            out, cnt = carry
+            s, ctr, val = win
+            window = jax.lax.dynamic_slice(x_rep, (s[0], s[1], s[2], 0),
+                                           roi + (c,))
+            prob = predictor((window[None], ctr[None], aff_rep))[0]
+            wgt = imap * val
+            idx = (s[0], s[1], s[2], 0)
+            cur_o = jax.lax.dynamic_slice(out, idx, roi + (nc,))
+            cur_c = jax.lax.dynamic_slice(cnt, idx, roi + (1,))
+            out = jax.lax.dynamic_update_slice(
+                out, cur_o + wgt * prob.astype(jnp.float32), idx)
+            cnt = jax.lax.dynamic_update_slice(cnt, cur_c + wgt, idx)
+            return (out, cnt), None
+
+        (out, cnt), _ = jax.lax.scan(body, (out, cnt),
+                                     (starts_sh, centers_sh, valid_sh))
+        out = jax.lax.psum(out, axis)
+        cnt = jax.lax.psum(cnt, axis)
+        return out / cnt
+
+    fn = shard_map(shard_fn, mesh=mesh,
+                   in_specs=(P(), P(axis), P(axis), P(axis), P()),
+                   out_specs=P())
+    result = fn(x, jnp.asarray(starts_p), jnp.asarray(centers_p),
+                jnp.asarray(valid_p), affine)
+    sl = tuple(slice(pads[i][0], pads[i][0] + (d0, h0, w0)[i])
+               for i in range(3))
+    return result[sl][None]
+
+
 _JITTED_SW_CACHE: dict = {}
 
 

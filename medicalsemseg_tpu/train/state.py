@@ -65,7 +65,10 @@ def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransform
     chain.append(optax.adamw(schedule, b1=0.9, b2=0.95, eps=1e-6,
                              weight_decay=cfg.weight_decay,
                              mask=weight_decay_mask))
-    return optax.chain(*chain), schedule
+    tx = optax.chain(*chain)
+    if getattr(cfg, "grad_accum_steps", 1) > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum_steps)
+    return tx, schedule
 
 
 def create_train_state(cfg: Config, model, rng: jax.Array,

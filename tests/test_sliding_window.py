@@ -130,3 +130,27 @@ def test_jit_compatible():
     out = run(jnp.ones((1, 12, 12, 12, 1)))
     assert out.shape == (1, 12, 12, 12, 2)
     np.testing.assert_allclose(np.asarray(out), 1.0, rtol=1e-5)
+
+
+def test_sharded_matches_single_device():
+    """Window-sharded inference over the 8-dev mesh == single-device result."""
+    from medicalsemseg_tpu.infer.sliding_window import (
+        sliding_window_inference_sharded)
+    from medicalsemseg_tpu.parallel.mesh import create_mesh
+
+    rng = np.random.default_rng(7)
+    vol = jnp.asarray(rng.normal(size=(1, 20, 24, 28, 2)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(2, 3)).astype(np.float32))
+
+    def predictor(model_in):
+        return model_in[0] @ w
+
+    aff = jnp.ones((1, 3))
+    want = sliding_window_inference(vol, aff, (16, 16, 16), 3, predictor,
+                                    overlap=0.5, mode="gaussian", n_classes=3)
+    mesh = create_mesh()
+    got = sliding_window_inference_sharded(vol, aff, (16, 16, 16), predictor,
+                                           mesh, overlap=0.5, mode="gaussian",
+                                           n_classes=3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
