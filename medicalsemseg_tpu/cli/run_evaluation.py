@@ -33,7 +33,10 @@ def eval_model(state, model, loader, cfg: Config):
     air_cval = ((0.0 - cfg.t_norm_mean) / cfg.t_norm_std
                 if cfg.t_normalize else 0.0)
 
-    from medicalsemseg_tpu.infer.sliding_window import jitted_sliding_window
+    from medicalsemseg_tpu.infer.sliding_window import (
+        bucket_pad,
+        jitted_sliding_window,
+    )
 
     sw_run = jitted_sliding_window(model)
     variables = {"params": state.params}
@@ -42,13 +45,16 @@ def eval_model(state, model, loader, cfg: Config):
 
     all_dice, all_nn, all_hd = [], [], []
     for i, sample in enumerate(loader):
-        vol = jnp.asarray(sample.image)[None]
+        padded, orig = bucket_pad(sample.image, cfg.sw_bucket_multiple,
+                                  air_cval)
+        vol = jnp.asarray(padded)[None]
         aff_xyz = jnp.asarray(np.diag(sample.original_affine)[:3],
                               jnp.float32)[None]
         logits = sw_run(variables, vol, aff_xyz, roi=cfg.vol_size3(),
                         sw_batch=cfg.batch_size_val,
                         overlap=cfg.val_infer_overlap, mode="gaussian",
                         cval=air_cval, n_classes=n_cls)
+        logits = logits[:, :orig[0], :orig[1], :orig[2]]
         pred = np.asarray(jnp.argmax(logits[0], axis=-1)).astype(np.uint8)
         gt = sample.label[..., 0].astype(np.int32)
 

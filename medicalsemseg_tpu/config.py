@@ -153,6 +153,8 @@ class Config:
     sw_batch_size: int = 4  # windows per sliding-window predictor call
     mesh_shape: Optional[Tuple[int, ...]] = None  # defaults to (n_devices,) data-parallel
     drop_path_rate: float = 0.2
+    sw_bucket_multiple: int = 32  # pad eval volumes to spatial multiples to
+    # bound sliding-window recompilations (static shapes, SURVEY.md §7.4)
     grad_accum_steps: int = 1  # micro-batch accumulation (optax.MultiSteps);
     # the reference steps every iteration (SURVEY.md §2.4)
     use_pallas_attention: bool = True  # fused window-attention kernel on TPU

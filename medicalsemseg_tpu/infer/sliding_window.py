@@ -34,6 +34,24 @@ import numpy as np
 Tuple3 = Tuple[int, int, int]
 
 
+def bucket_pad(vol: np.ndarray, multiple: int = 32,
+               cval: float = 0.0) -> Tuple[np.ndarray, Tuple3]:
+    """Pad a (D, H, W, C) host volume to the next spatial multiple.
+
+    CT volumes differ per file but XLA wants static shapes (SURVEY.md §7.4):
+    bucketing to canonical grids bounds the number of sliding-window
+    compilations to a few shapes per dataset. Returns (padded volume,
+    original spatial shape) — callers crop the logits back after inference.
+    Pad voxels are air (cval) and sit at trailing edges, so real-voxel
+    blending weights are unchanged for windows that only see real data.
+    """
+    orig = vol.shape[:3]
+    pads = [(0, (-orig[i]) % multiple) for i in range(3)] + [(0, 0)]
+    if any(p != (0, 0) for p in pads):
+        vol = np.pad(vol, pads, constant_values=cval)
+    return vol, orig
+
+
 def scan_interval(image_size: Tuple3, roi_size: Tuple3,
                   overlap: float) -> Tuple3:
     """MONAI _get_scan_interval semantics (reference: engine/utils.py:105)."""

@@ -84,7 +84,10 @@ def run_validation(state, model, loader, cfg: Config, epoch: int,
     # padding value for air under normalization (reference: engine/val.py:32-35)
     cval = (0.0 - cfg.t_norm_mean) / cfg.t_norm_std if cfg.t_normalize else 0.0
 
-    from medicalsemseg_tpu.infer.sliding_window import jitted_sliding_window
+    from medicalsemseg_tpu.infer.sliding_window import (
+        bucket_pad,
+        jitted_sliding_window,
+    )
 
     sw_run = jitted_sliding_window(model)
     variables = {"params": state.params}
@@ -99,13 +102,15 @@ def run_validation(state, model, loader, cfg: Config, epoch: int,
 
     for sample in logger.log_every(loader, 5, f"Val: [{epoch}]",
                                    total=len(loader)):
-        vol = jnp.asarray(sample.image)[None]  # (1, D, H, W, C)
+        padded, orig = bucket_pad(sample.image, cfg.sw_bucket_multiple, cval)
+        vol = jnp.asarray(padded)[None]  # (1, D', H', W', C)
         affine_xyz = jnp.asarray(
             np.diag(sample.original_affine)[:3], jnp.float32)[None]
         logits = sw_run(variables, vol, affine_xyz, roi=cfg.vol_size3(),
                         sw_batch=cfg.sw_batch_size,
                         overlap=cfg.val_infer_overlap, mode="gaussian",
                         cval=cval, n_classes=n_cls)
+        logits = logits[:, :orig[0], :orig[1], :orig[2]]
         labels = jnp.asarray(sample.label[..., 0].astype(np.int32))[None]
         loss = float(loss_fn(logits, labels))
         pred = jnp.argmax(logits, axis=-1)
