@@ -53,6 +53,9 @@ class JsonlWriter:
 
 
 def main(cfg: Config) -> dict:
+    from medicalsemseg_tpu.parallel.dist import init_distributed_mode
+
+    init_distributed_mode(cfg)  # multi-host rendezvous (no-op single-process)
     enable_compilation_cache()
     if cfg.anomaly_detection:
         jax.config.update("jax_debug_nans", True)

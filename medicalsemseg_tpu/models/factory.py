@@ -27,7 +27,7 @@ from medicalsemseg_tpu.models.swin import SwinEncoder3D
 
 MODEL_NAMES = (
     "nnFormerUNETR", "SwInception", "SwinDepth", "SwinSegFormer",
-    "SegFormer3D", "GCViTUNETR", "FocalNetUNETR",
+    "SegFormer3D", "GCViTUNETR", "FocalNetUNETR", "UNETR_Official",
 )
 
 
@@ -149,6 +149,17 @@ def build_model(cfg: Config) -> nn.Module:
             encoder=encoder, out_channels=cfg.output_dim,
             hidden_size=cfg.hidden_dim, patch_size=cfg.patch_size3(),
             dtype=dtype)
+
+    if name == "UNETR_Official":
+        # the reference's DEFAULT model name, which its factory silently
+        # fails to build (model_builder.py falls through); a working ViT-B
+        # UNETR here (vendored-dead unetr_official.py, SURVEY.md §2.2)
+        from medicalsemseg_tpu.models.unetr import UNETR
+        return UNETR(out_channels=cfg.output_dim, in_chans=cfg.in_chans,
+                     feature_size=max(cfg.hidden_dim // 3, 8),
+                     hidden_size=768, depth=12, num_heads=12,
+                     patch_size=(16, 16, 16),
+                     drop_path_rate=cfg.drop_path_rate, dtype=dtype)
 
     raise ValueError(
         f"unknown model {name!r}; available: {', '.join(MODEL_NAMES)}")

@@ -124,7 +124,35 @@ def test_focalnet_forward_shape():
 
 def test_unknown_model_raises():
     with pytest.raises(ValueError):
-        build_model(tiny_cfg(model="UNETR_Official"))
+        build_model(tiny_cfg(model="LRGFormer"))
+
+
+def test_unetr_official_forward_shape():
+    """The reference's default model name actually works here (tiny config)."""
+    from medicalsemseg_tpu.models.unetr import UNETR
+
+    model = UNETR(out_channels=3, feature_size=4, hidden_size=24, depth=4,
+                  num_heads=2, patch_size=(16, 16, 16))
+    cfg = tiny_cfg()
+    out = init_and_apply(model, make_inputs(cfg))
+    assert out.shape == (1, 32, 32, 32, 3)
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_vit_mae_options_forward():
+    """ViT-MAE-style encoder options: cls token + layer-scale (SURVEY §2.2)."""
+    from medicalsemseg_tpu.models.vit import ViT3D
+
+    enc = ViT3D(patch_size=(8, 8, 8), hidden_size=24, depth=2, num_heads=2,
+                out_indices=(1, 2), use_cls_token=True, init_values=1e-4)
+    import numpy as np
+    rng = np.random.default_rng(0)
+    vol = jnp.asarray(rng.normal(size=(1, 16, 16, 16, 1)).astype(np.float32))
+    variables = jax.jit(lambda r, x: enc.init(r, x, deterministic=True))(
+        jax.random.PRNGKey(0), (vol, None, None))
+    taps = enc.apply(variables, (vol, None, None), deterministic=True)
+    assert len(taps) == 2
+    assert taps[0].shape == (1, 2, 2, 2, 24)
 
 
 def test_batch_of_two():
