@@ -60,7 +60,7 @@ def test_model(state, model, loader, cfg: Config):
         logits = sw_run(variables, vol, aff_xyz, roi=cfg.vol_size3(),
                         sw_batch=cfg.batch_size_val,
                         overlap=cfg.val_infer_overlap, mode="gaussian",
-                        cval=air_cval, n_classes=cfg.output_dim)
+                        cval=air_cval, tta=cfg.tta_mirror, n_classes=cfg.output_dim)
         logits = logits[:, :orig[0], :orig[1], :orig[2]]
         pred = np.asarray(jnp.argmax(logits[0], axis=-1)).astype(np.uint8)
 

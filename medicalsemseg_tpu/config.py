@@ -153,6 +153,7 @@ class Config:
     sw_batch_size: int = 4  # windows per sliding-window predictor call
     mesh_shape: Optional[Tuple[int, ...]] = None  # defaults to (n_devices,) data-parallel
     drop_path_rate: float = 0.2
+    tta_mirror: bool = False  # nn-UNet-style 8-way flip TTA at inference
     sw_bucket_multiple: int = 32  # pad eval volumes to spatial multiples to
     # bound sliding-window recompilations (static shapes, SURVEY.md §7.4)
     grad_accum_steps: int = 1  # micro-batch accumulation (optax.MultiSteps);
@@ -301,6 +302,7 @@ def build_parser() -> argparse.ArgumentParser:
     _add_bool_flag(g, "use_pallas_attention", True,
                    false_flag="--no_pallas_attention")
     g.add_argument("--grad_accum_steps", type=int, default=1)
+    _add_bool_flag(g, "tta_mirror", False)
 
     return p
 

@@ -215,12 +215,16 @@ def jitted_sliding_window(model):
         return _JITTED_SW_CACHE[model]
 
     @functools.partial(jax.jit, static_argnames=(
-        "roi", "sw_batch", "overlap", "mode", "cval", "n_classes"))
+        "roi", "sw_batch", "overlap", "mode", "cval", "n_classes", "tta"))
     def run(variables, vol, affine, *, roi, sw_batch, overlap,
-            mode="gaussian", cval=0.0, n_classes=None):
+            mode="gaussian", cval=0.0, n_classes=None, tta=False):
         def predictor(model_in):
             return model.apply(variables, model_in, deterministic=True)
 
+        if tta:
+            from medicalsemseg_tpu.infer.tta import mirror_tta
+
+            predictor = mirror_tta(predictor)
         return sliding_window_inference(
             vol, affine, roi, sw_batch, predictor, overlap=overlap,
             mode=mode, cval=cval, n_classes=n_classes)

@@ -154,3 +154,31 @@ def test_sharded_matches_single_device():
                                            n_classes=3)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_mirror_tta_symmetric_predictor_invariant():
+    """A flip-equivariant predictor gives identical results with TTA; a
+    non-equivariant one is symmetrized."""
+    from medicalsemseg_tpu.infer.tta import mirror_tta
+
+    rng = np.random.default_rng(9)
+    win = jnp.asarray(rng.normal(size=(2, 4, 4, 4, 1)).astype(np.float32))
+
+    def equivariant(model_in):  # pointwise: trivially flip-equivariant
+        x = model_in[0]
+        return jnp.concatenate([x, -x], axis=-1)
+
+    base = jax.nn.log_softmax(equivariant((win, None, None)), -1)
+    tta = mirror_tta(equivariant)((win, None, None))
+    np.testing.assert_allclose(np.asarray(tta), np.asarray(base),
+                               rtol=1e-5, atol=1e-5)
+
+    def asymmetric(model_in):  # depends on absolute position
+        x = model_in[0]
+        ramp = jnp.arange(x.shape[1], dtype=jnp.float32)[None, :, None, None, None]
+        return jnp.concatenate([x + ramp, -x], axis=-1)
+
+    out = np.asarray(mirror_tta(asymmetric)((win, None, None)))
+    # flipping the input must flip the TTA output exactly (symmetrization)
+    out_f = np.asarray(mirror_tta(asymmetric)((jnp.flip(win, 1), None, None)))
+    np.testing.assert_allclose(out_f, np.flip(out, 1), rtol=1e-5, atol=1e-5)
