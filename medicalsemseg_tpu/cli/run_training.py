@@ -117,6 +117,21 @@ def main(cfg: Config) -> dict:
                          out_shardings=(repl, repl))
 
     start_epoch = cfg.start_epoch
+    if cfg.pretrained:
+        # load reference-format .pth backbone weights (the reference declares
+        # --pretrained but never consumes it, utils/arguments.py:293 /
+        # utils/checkpoint.py dead loader — functional here)
+        from medicalsemseg_tpu.utils.torch_import import (
+            import_swin_encoder,
+            load_reference_pth,
+        )
+
+        sd = load_reference_pth(cfg.pretrained)
+        enc_params = import_swin_encoder(sd, "encoder.", len(cfg.depths))
+        merged = dict(state.params)
+        merged["encoder"] = enc_params
+        state = state.replace(params=merged)
+        print(f"Loaded pretrained encoder from {cfg.pretrained}")
     if cfg.resume:
         state, start_epoch = ckpt.load_checkpoint(cfg.resume, state)
         print(f"Resumed from {cfg.resume} at epoch {start_epoch}")

@@ -28,6 +28,7 @@ from medicalsemseg_tpu.models.swin import SwinEncoder3D
 MODEL_NAMES = (
     "nnFormerUNETR", "SwInception", "SwinDepth", "SwinSegFormer",
     "SegFormer3D", "GCViTUNETR", "FocalNetUNETR", "UNETR_Official",
+    "nnFormer",
 )
 
 
@@ -149,6 +150,17 @@ def build_model(cfg: Config) -> nn.Module:
             encoder=encoder, out_channels=cfg.output_dim,
             hidden_size=cfg.hidden_dim, patch_size=cfg.patch_size3(),
             dtype=dtype)
+
+    if name == "nnFormer":
+        # the official symmetric nnFormer (vendored-dead in the reference,
+        # nnformer_official.py:918-978, SURVEY.md §2.2) as a working entry
+        from medicalsemseg_tpu.models.nnformer import NNFormer
+        return NNFormer(out_channels=cfg.output_dim, in_chans=cfg.in_chans,
+                        embed_dim=cfg.hidden_dim, depths=tuple(cfg.depths),
+                        num_heads=tuple(cfg.num_heads),
+                        window_sizes=cfg.window_sizes(),
+                        patch_size=cfg.patch_size3(), qkv_bias=cfg.qkv_bias,
+                        drop_path_rate=cfg.drop_path_rate, dtype=dtype)
 
     if name == "UNETR_Official":
         # the reference's DEFAULT model name, which its factory silently

@@ -160,3 +160,27 @@ def test_batch_of_two():
     model = build_model(cfg)
     out = init_and_apply(model, make_inputs(cfg, batch=2))
     assert out.shape == (2, 32, 32, 32, 3)
+
+
+def test_nnformer_official_forward_and_deep_supervision():
+    """Symmetric nnFormer (reference vendored nnformer_official, SURVEY §2.2)."""
+    from medicalsemseg_tpu.models.nnformer import NNFormer
+
+    cfg = tiny_cfg(model="nnFormer", depths=(1, 1, 1), num_heads=(2, 2, 2),
+                   window_size=2, vol_size=16)
+    model = build_model(cfg)
+    out = init_and_apply(model, make_inputs(cfg))
+    assert out.shape == (1, 16, 16, 16, 3)
+    assert bool(jnp.isfinite(out).all())
+
+    ds_model = NNFormer(out_channels=3, embed_dim=12, depths=(1, 1, 1),
+                        num_heads=(2, 2, 2), window_sizes=(2, 2, 2),
+                        patch_size=(2, 2, 2), deep_supervision=True,
+                        drop_path_rate=0.0)
+    x_in = make_inputs(tiny_cfg(vol_size=16))
+    variables = jax.jit(lambda r, x: ds_model.init(r, x, deterministic=True))(
+        jax.random.PRNGKey(0), x_in)
+    heads = ds_model.apply(variables, x_in, deterministic=True)
+    assert len(heads) == 2
+    assert heads[0].shape == (1, 16, 16, 16, 3)   # full res first
+    assert heads[1].shape == (1, 8, 8, 8, 3)      # 1/2 res
