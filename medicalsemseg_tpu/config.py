@@ -153,6 +153,8 @@ class Config:
     sw_batch_size: int = 4  # windows per sliding-window predictor call
     mesh_shape: Optional[Tuple[int, ...]] = None  # defaults to (n_devices,) data-parallel
     drop_path_rate: float = 0.2
+    remat: bool = False  # rematerialize encoder blocks (jax.checkpoint):
+    # trades recompute FLOPs for HBM, enabling larger train batches per chip
     tta_mirror: bool = False  # nn-UNet-style 8-way flip TTA at inference
     sw_bucket_multiple: int = 32  # pad eval volumes to spatial multiples to
     # bound sliding-window recompilations (static shapes, SURVEY.md §7.4)
@@ -303,6 +305,7 @@ def build_parser() -> argparse.ArgumentParser:
                    false_flag="--no_pallas_attention")
     g.add_argument("--grad_accum_steps", type=int, default=1)
     _add_bool_flag(g, "tta_mirror", False)
+    _add_bool_flag(g, "remat", False)
 
     return p
 

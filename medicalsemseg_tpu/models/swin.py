@@ -308,13 +308,18 @@ class BasicLayer(nn.Module):
     global_token: bool = False
     mlp_type: str = "dense"
     use_pallas: bool = False
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, affine=None, gt=None,
                  deterministic: bool = True):
+        # rematerialize block activations to trade FLOPs for HBM during
+        # training (jax.checkpoint; enables bigger crop batches per chip)
+        block_cls = (nn.remat(SwinBlock, static_argnums=(4,))
+                     if self.remat else SwinBlock)
         for i in range(self.depth):
-            x, gt = SwinBlock(
+            x, gt = block_cls(
                 dim=self.dim, input_resolution=self.input_resolution,
                 num_heads=self.num_heads, window_size=self.window_size,
                 shift_size=0 if i % 2 == 0 else self.window_size // 2,
@@ -325,7 +330,7 @@ class BasicLayer(nn.Module):
                 global_token=self.global_token, mlp_type=self.mlp_type,
                 use_pallas=self.use_pallas,
                 dtype=self.dtype, name=f"blocks_{i}")(
-                    x, affine=affine, gt=gt, deterministic=deterministic)
+                    x, affine, gt, deterministic)
         x_down = PatchMerging(dim=self.dim, dtype=self.dtype, name="downsample")(x)
         if self.global_token and gt is not None:
             gt = nn.Dense(2 * self.dim, dtype=self.dtype,
@@ -371,6 +376,7 @@ class SwinEncoder3D(nn.Module):
     use_abs_pos_emb: bool = False
     global_token: bool = False
     use_pallas: bool = False
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @property
@@ -450,7 +456,7 @@ class SwinEncoder3D(nn.Module):
                 drop_path_rates=dpr[sum(self.depths[:i]):sum(self.depths[:i + 1])],
                 rel_pos_bias_affine=self.rel_pos_bias_affine,
                 global_token=self.global_token, mlp_type=self.mlp_type,
-                use_pallas=self.use_pallas,
+                use_pallas=self.use_pallas, remat=self.remat,
                 dtype=self.dtype, name=f"layers_{i}")(
                     x, affine=affine, gt=gt, deterministic=deterministic)
             # the reference norms the *downsampled* tensor as the stage output

@@ -83,9 +83,23 @@ def create_train_state(cfg: Config, model, rng: jax.Array,
     return state, schedule
 
 
+def _deep_supervision_loss(loss_fn, heads, labels):
+    """nnU-Net-style deep supervision: per-scale losses against
+    nearest-downsampled labels, weights 1/2^i normalized."""
+    weights = np.asarray([1.0 / 2 ** i for i in range(len(heads))])
+    weights = weights / weights.sum()
+    total = 0.0
+    for i, logits in enumerate(heads):
+        factor = labels.shape[1] // logits.shape[1]
+        lab = labels[:, ::factor, ::factor, ::factor] if factor > 1 else labels
+        total = total + weights[i] * loss_fn(logits, lab)
+    return total
+
+
 def make_train_step(cfg: Config):
     """Build the jitted train step. batch keys: image (B,D,H,W,C) fp32,
-    label (B,D,H,W) int32, crop_loc (B,3), affine (B,3)."""
+    label (B,D,H,W) int32, crop_loc (B,3), affine (B,3). Models returning a
+    list of logits (deep supervision) get per-scale weighted losses."""
     loss_fn = build_loss(cfg)
     n_classes = cfg.output_dim
 
@@ -107,7 +121,11 @@ def make_train_step(cfg: Config):
                                         deterministic=False,
                                         rngs={"dropout": rng})
                 new_stats = state.batch_stats
-            loss = loss_fn(logits, batch["label"])
+            if isinstance(logits, (list, tuple)):
+                loss = _deep_supervision_loss(loss_fn, logits, batch["label"])
+                logits = logits[0]  # full-res head for metrics
+            else:
+                loss = loss_fn(logits, batch["label"])
             return loss, (logits, new_stats)
 
         (loss, (logits, new_stats)), grads = jax.value_and_grad(
