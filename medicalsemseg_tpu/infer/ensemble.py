@@ -9,8 +9,6 @@ sum), which under a fold-sharded mesh axis becomes a single psum over ICI.
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 import numpy as np

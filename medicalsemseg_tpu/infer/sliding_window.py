@@ -25,7 +25,7 @@ from __future__ import annotations
 import functools
 import itertools
 import math
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ prediction. All 8 forwards stay on device inside one jitted program.
 from __future__ import annotations
 
 import itertools
-from typing import Callable, Sequence, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -13,9 +13,8 @@ fusion (conv epilogues fuse into the convolution on TPU).
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Any, List, Tuple
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -24,7 +23,6 @@ from medicalsemseg_tpu.models.layers import (
     Conv3d,
     ConvTranspose3d,
     InstanceNorm,
-    trunc_normal_init,
 )
 from medicalsemseg_tpu.ops.resize import resize_trilinear
 

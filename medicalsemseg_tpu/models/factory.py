@@ -8,12 +8,11 @@ model_builder.py falls through for the default 'UNETR_Official').
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
 
-from medicalsemseg_tpu.config import Config, as_tuple3
+from medicalsemseg_tpu.config import Config
 from medicalsemseg_tpu.models.decoders import (
     SegFormerHead,
     SegFormerHeadOfficial,

@@ -13,9 +13,8 @@ reproduced.)
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Tuple
+from typing import Any, List, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn

@@ -21,7 +21,7 @@ arithmetic only yields that for patch 2, its shipped configuration).
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -41,7 +41,6 @@ from medicalsemseg_tpu.ops.window import (
     pad_to_multiple,
     relative_position_index,
     resolve_window,
-    shift_window_attn_mask,
     window_partition,
     window_reverse,
 )

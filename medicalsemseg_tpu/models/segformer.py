@@ -11,7 +11,7 @@ softmax in fp32, channels-last throughout.
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Tuple
+from typing import Any, List, Tuple
 
 import jax
 import jax.numpy as jnp

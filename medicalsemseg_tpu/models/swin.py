@@ -19,7 +19,6 @@ Design notes (vs. the reference):
 
 from __future__ import annotations
 
-import math
 from typing import Any, Callable, List, Optional, Sequence, Tuple
 
 import jax

@@ -25,7 +25,7 @@ from medicalsemseg_tpu.models.decoders import (
     UnetResBlock,
     UnetrUpBlock,
 )
-from medicalsemseg_tpu.models.layers import Conv3d, ConvTranspose3d, InstanceNorm
+from medicalsemseg_tpu.models.layers import ConvTranspose3d
 from medicalsemseg_tpu.models.vit import ViT3D
 
 Dtype = Any

@@ -13,7 +13,7 @@ default '--model UNETR_Official' silently builds None; here the name works.
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Any, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -13,8 +13,6 @@ on TPU the softmax/reduction chain fuses into a handful of VPU passes.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

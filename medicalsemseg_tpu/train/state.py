@@ -20,10 +20,10 @@ The TPU-native re-layering of the reference's training machinery
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Tuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 import optax
 from flax import struct

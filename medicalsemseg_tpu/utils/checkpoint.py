@@ -15,9 +15,8 @@ from __future__ import annotations
 
 import os
 import shutil
-from typing import Any, Dict, List, Optional, Tuple
+from typing import List, Tuple
 
-import jax
 import numpy as np
 import orbax.checkpoint as ocp
 

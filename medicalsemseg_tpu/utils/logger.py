@@ -38,7 +38,6 @@ class SmoothedValue:
         if jax.process_count() == 1:
             return
         # sum [count, total] across hosts (reference: utils/misc.py:34-45)
-        import jax.numpy as jnp
         from jax.experimental import multihost_utils
 
         arr = np.asarray([self.count, self.total], np.float64)

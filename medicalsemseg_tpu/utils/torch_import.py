@@ -18,7 +18,7 @@ Layout conversions (torch -> flax):
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 
