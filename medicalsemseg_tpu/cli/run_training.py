@@ -79,7 +79,17 @@ def main(cfg: Config) -> dict:
                                    cfg.cache_rate_train if cfg.cache_dataset else 0.0)
     ds_val = CachedVolumeDataset(val_part, cfg,
                                  cfg.cache_rate_val if cfg.cache_dataset else 0.0)
-    loader_train = TrainLoader(ds_train, cfg, seed=seed)
+    if cfg.device_data_pipeline:
+        from medicalsemseg_tpu.data.device_pipeline import (
+            DeviceCachedDataset,
+            DeviceTrainLoader,
+        )
+
+        loader_train = DeviceTrainLoader(DeviceCachedDataset(ds_train, cfg),
+                                         cfg, seed=seed)
+        print("device data pipeline: volumes cached in HBM")
+    else:
+        loader_train = TrainLoader(ds_train, cfg, seed=seed)
     loader_val = EvalLoader(ds_val)
 
     # -- model + state --
@@ -110,8 +120,9 @@ def main(cfg: Config) -> dict:
     state = jax.device_put(state, repl)
 
     def put_batch(batch):
-        return {k: jax.device_put(np.asarray(val), data_sh)
-                for k, val in batch.items()}
+        # host numpy batches and device-pipeline jax arrays both reshard here
+        # (no host round-trip for arrays already in HBM)
+        return {k: jax.device_put(val, data_sh) for k, val in batch.items()}
 
     train_step = jax.jit(make_train_step(cfg), donate_argnums=(0,),
                          out_shardings=(repl, repl))

@@ -154,6 +154,9 @@ class Config:
     # (swept on v5e: 16 is ~2.2x faster than 4 for the flagship workload)
     mesh_shape: Optional[Tuple[int, ...]] = None  # defaults to (n_devices,) data-parallel
     drop_path_rate: float = 0.2
+    device_data_pipeline: bool = False  # HBM-resident volume cache with
+    # on-device crop extraction + augmentation (data/device_pipeline.py);
+    # use when the preprocessed dataset fits HBM next to the train state
     remat: bool = False  # rematerialize encoder blocks (jax.checkpoint):
     # trades recompute FLOPs for HBM, enabling larger train batches per chip
     tta_mirror: bool = False  # nn-UNet-style 8-way flip TTA at inference
@@ -307,6 +310,7 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--grad_accum_steps", type=int, default=1)
     _add_bool_flag(g, "tta_mirror", False)
     _add_bool_flag(g, "remat", False)
+    _add_bool_flag(g, "device_data_pipeline", False)
 
     return p
 

@@ -122,3 +122,17 @@ def test_test_prediction_and_majority_vote(trained):
     assert v.data.dtype == np.uint8
     assert v.data.shape == (18, 20, 22)
     assert set(np.unique(v.data)).issubset({0, 1, 2})
+
+
+def test_training_with_device_pipeline(trained):
+    """One epoch through the HBM-resident data path produces finite loss."""
+    cfg, result, root, task, out_dir, tmp = trained
+    from medicalsemseg_tpu.cli.run_training import main as train_main
+
+    cfg_d = cfg.replace(device_data_pipeline=True, epochs=1, val_interval=1,
+                        output_dir=str(tmp / "out_dev"), resume="")
+    os.makedirs(cfg_d.output_dir, exist_ok=True)
+    train_main(cfg_d)
+    log = open(os.path.join(cfg_d.output_dir, "log.txt")).read().splitlines()
+    rec = json.loads(log[0])
+    assert np.isfinite(rec["train/loss"])
