@@ -257,8 +257,9 @@ class InceptionMlp(nn.Module):
         b7 = BasicConv3d(bn_dim, (3, 3, 3), dtype=self.dtype)(b7, deterministic=det)
         b7 = BasicConv3d(bd, (3, 3, 3), dtype=self.dtype)(b7, deterministic=det)
 
+        # torch AvgPool3d(padding=1) counts pad voxels (count_include_pad=True)
         bp = nn.avg_pool(v, (3, 3, 3), strides=(1, 1, 1), padding="SAME",
-                         count_include_pad=False)
+                         count_include_pad=True)
         bp = BasicConv3d(bd, (1, 1, 1), dtype=self.dtype)(bp, deterministic=det)
 
         cat = jnp.concatenate([b1, b3, b5, b7, bp], axis=-1)

@@ -33,6 +33,9 @@ def _install_timm_stub():
     def to_3tuple(x):
         return tuple(x) if isinstance(x, (tuple, list)) else (x, x, x)
 
+    def to_2tuple(x):
+        return tuple(x) if isinstance(x, (tuple, list)) else (x, x)
+
     def trunc_normal_(tensor, mean=0.0, std=1.0, a=-2.0, b=2.0):
         with torch.no_grad():
             tensor.normal_(mean, std)
@@ -48,6 +51,7 @@ def _install_timm_stub():
             return x  # eval-mode identity; parity tests run deterministic
 
     layers.to_3tuple = to_3tuple
+    layers.to_2tuple = to_2tuple
     layers.trunc_normal_ = trunc_normal_
     layers.DropPath = DropPath
     models.layers = layers
