@@ -94,6 +94,15 @@ def run_validation(state, model, loader, cfg: Config, epoch: int,
     if jax.tree_util.tree_leaves(state.batch_stats):
         variables["batch_stats"] = state.batch_stats
 
+    @jax.jit
+    def val_metrics(logits, labels):
+        # one program per volume shape: loss + per-class dice on device
+        # (eager per-op dispatch costs a host round-trip each on this backend)
+        loss = loss_fn(logits, labels)
+        pred = jnp.argmax(logits, axis=-1)
+        dice, not_nan = dice_per_class(pred, labels, n_cls)
+        return loss, dice[0], not_nan[0]
+
     logger = MetricLogger()
     logger.add_meter("loss", SmoothedValue(100, "{value:.6f}"))
     logger.add_meter("mDice", SmoothedValue(100, "{value:.6f}"))
@@ -112,11 +121,10 @@ def run_validation(state, model, loader, cfg: Config, epoch: int,
                         cval=cval, n_classes=n_cls)
         logits = logits[:, :orig[0], :orig[1], :orig[2]]
         labels = jnp.asarray(sample.label[..., 0].astype(np.int32))[None]
-        loss = float(loss_fn(logits, labels))
-        pred = jnp.argmax(logits, axis=-1)
-        dice, not_nan = dice_per_class(pred, labels, n_cls)
-        dice = np.asarray(dice)[0]
-        not_nan = np.asarray(not_nan)[0]
+        loss_dev, dice_dev, nn_dev = val_metrics(logits, labels)
+        loss = float(loss_dev)
+        dice = np.asarray(dice_dev)
+        not_nan = np.asarray(nn_dev)
         kw = {name: dice[c] for c, name in enumerate(_class_meter_names(n_cls))
               if not_nan[c] > 0}
         mdice = (dice[not_nan > 0].mean() if (not_nan > 0).any() else np.nan)
