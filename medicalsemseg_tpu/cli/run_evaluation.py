@@ -43,6 +43,12 @@ def eval_model(state, model, loader, cfg: Config):
     if jax.tree_util.tree_leaves(state.batch_stats):
         variables["batch_stats"] = state.batch_stats
 
+    @jax.jit
+    def pred_and_dice(logits, labels):
+        pred = jnp.argmax(logits, axis=-1)
+        dice, nn = dice_per_class(pred, labels, n_cls)
+        return pred[0].astype(jnp.uint8), dice[0], nn[0]
+
     all_dice, all_nn, all_hd = [], [], []
     for i, sample in enumerate(loader):
         padded, orig = bucket_pad(sample.image, cfg.sw_bucket_multiple,
@@ -55,18 +61,19 @@ def eval_model(state, model, loader, cfg: Config):
                         overlap=cfg.val_infer_overlap, mode="gaussian",
                         cval=air_cval, tta=cfg.tta_mirror, n_classes=n_cls)
         logits = logits[:, :orig[0], :orig[1], :orig[2]]
-        pred = np.asarray(jnp.argmax(logits[0], axis=-1)).astype(np.uint8)
         gt = sample.label[..., 0].astype(np.int32)
-
-        dice, nn = dice_per_class(jnp.asarray(pred)[None],
-                                  jnp.asarray(gt)[None], n_cls)
+        pred_dev, dice_dev, nn_dev = pred_and_dice(logits,
+                                                   jnp.asarray(gt)[None])
+        pred = np.asarray(pred_dev)
+        dice = np.asarray(dice_dev)
+        nn = np.asarray(nn_dev)
         hd = hausdorff95(pred, gt, n_cls, include_background=False)
-        all_dice.append(np.asarray(dice)[0])
-        all_nn.append(np.asarray(nn)[0])
+        all_dice.append(dice)
+        all_nn.append(nn)
         all_hd.append(hd)
         finite_hd = hd[np.isfinite(hd)]
         print(f"[{i}] {os.path.basename(sample.name)}: "
-              f"mDice {np.asarray(dice)[0][np.asarray(nn)[0] > 0].mean():.4f} "
+              f"mDice {dice[nn > 0].mean():.4f} "
               f"HD95 {finite_hd.mean() if len(finite_hd) else float('nan'):.2f}")
 
         if cfg.save_eval_output and cfg.output_dir:
@@ -80,9 +87,10 @@ def eval_model(state, model, loader, cfg: Config):
                 nifti.save(nifti.NiftiImage(arr, sample.affine),
                            os.path.join(d, name))
 
-    dice = np.stack(all_dice)
-    nn = np.stack(all_nn)
-    class_dice = np.where(nn.sum(0) > 0, dice.sum(0) / np.maximum(nn.sum(0), 1),
+    dice_all = np.stack(all_dice)
+    nn_all = np.stack(all_nn)
+    class_dice = np.where(nn_all.sum(0) > 0,
+                          dice_all.sum(0) / np.maximum(nn_all.sum(0), 1),
                           np.nan)
     hd = np.stack(all_hd)
     with np.errstate(invalid="ignore"):
