@@ -54,11 +54,16 @@ def _install_timm_stub():
     layers.to_2tuple = to_2tuple
     layers.trunc_normal_ = trunc_normal_
     layers.DropPath = DropPath
+    registry = types.ModuleType("timm.models.registry")
+    registry.register_model = lambda fn=None, *a, **k: (fn if fn else
+                                                        (lambda f: f))
     models.layers = layers
+    models.registry = registry
     timm.models = models
     sys.modules["timm"] = timm
     sys.modules["timm.models"] = models
     sys.modules["timm.models.layers"] = layers
+    sys.modules["timm.models.registry"] = registry
 
 
 def _install_monai_stub():

@@ -218,3 +218,117 @@ def test_swindepth_dwconv_mlp_parity():
     got = ours.apply({"params": params, "batch_stats": stats},
                      jnp.asarray(x), deterministic=True, grid=(4, 4, 4))
     np.testing.assert_allclose(np.asarray(got), want, rtol=3e-4, atol=3e-5)
+
+
+def test_gcvit_subcomponents_parity():
+    """GCViT SE / FeatExtract / ReduceSize match the reference (the attention
+    deviations are documented; the conv machinery is faithful)."""
+    from models.backbones.gc_vit_3d import SE as RefSE
+    from models.backbones.gc_vit_3d import FeatExtract as RefFE
+    from models.backbones.gc_vit_3d import ReduceSize as RefRS
+
+    from medicalsemseg_tpu.models.gcvit import SE, FeatExtract, ReduceSize
+
+    torch.manual_seed(4)
+    dim = 8
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(2, 6, 6, 6, dim)).astype(np.float32)
+    x_t = torch.from_numpy(x.transpose(0, 4, 1, 2, 3))
+
+    # --- SE gate ---
+    ref_se = RefSE(dim, dim).eval()
+    se_params = {"Dense_0": dense_params(ref_se.fc[0]),
+                 "Dense_1": dense_params(ref_se.fc[2])}
+    with torch.no_grad():
+        want = ref_se(x_t).numpy().transpose(0, 2, 3, 4, 1)
+    got = SE(dim).apply({"params": se_params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=3e-5, atol=3e-6)
+
+    def conv_se_params(seq, se_prefix="_ConvSE_0"):
+        return {se_prefix: {
+            "Conv3d_0": {"Conv_0": conv_params(seq[0])},
+            "SE_0": {"Dense_0": dense_params(seq[2].fc[0]),
+                     "Dense_1": dense_params(seq[2].fc[2])},
+            "Conv3d_1": {"Conv_0": conv_params(seq[3])},
+        }}
+
+    # --- FeatExtract (with pooling) ---
+    ref_fe = RefFE(dim, keep_dim=False).eval()
+    fe_params = conv_se_params(ref_fe.conv)
+    with torch.no_grad():
+        want = ref_fe(x_t).numpy().transpose(0, 2, 3, 4, 1)
+    got = FeatExtract(dim, keep_dim=False).apply({"params": fe_params},
+                                                 jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=3e-4, atol=3e-5)
+
+    # --- ReduceSize ---
+    ref_rs = RefRS(dim).eval()
+    rs_params = conv_se_params(ref_rs.conv)
+    rs_params["norm1"] = ln_params(ref_rs.norm1)
+    rs_params["norm2"] = ln_params(ref_rs.norm2)
+    rs_params["reduction"] = {"Conv_0": conv_params(ref_rs.reduction)}
+    with torch.no_grad():
+        want = ref_rs(torch.from_numpy(x)).numpy()  # ref takes channels-last!
+    got = ReduceSize(dim).apply({"params": rs_params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=3e-4, atol=3e-5)
+
+
+def test_nnformer_cross_attention_parity():
+    """nnFormer WindowAttention_kv (K/V from skip, Q from upsampled path).
+
+    Note: the reference's rel-pos index strides are the non-standard
+    (3w-1, 2w-1) pair (nnformer_official.py:176-177); for parity the
+    reference bias table is regathered through OUR (standard) index table —
+    the comparison isolates the attention math itself.
+    """
+    # nnformer_official imports neural_network (batchgenerators + removed
+    # scipy APIs); only the SegmentationNetwork base class is needed
+    import types as _types
+    nn_mod = _types.ModuleType(
+        "models.segmentors.nnformer_official.neural_network")
+    nn_mod.SegmentationNetwork = torch.nn.Module
+    sys.modules.setdefault(
+        "models.segmentors.nnformer_official.neural_network", nn_mod)
+    from models.segmentors.nnformer_official.nnformer_official import (
+        WindowAttention_kv as RefKV,
+    )
+
+    from medicalsemseg_tpu.models.nnformer import CrossWindowAttention
+    from medicalsemseg_tpu.ops.window import relative_position_index
+
+    torch.manual_seed(5)
+    dim, nh, ws = 8, 2, (2, 2, 2)
+    ref = RefKV(dim, ws, nh, qkv_bias=True).eval()
+    ours = CrossWindowAttention(dim=dim, window_size=ws, num_heads=nh,
+                                qkv_bias=True)
+
+    # neutralize index-table differences: use a constant-per-entry table
+    with torch.no_grad():
+        ref.relative_position_bias_table.fill_(0.0)
+        base = torch.randn(ref.relative_position_bias_table.shape) * 0.02
+        ref.relative_position_bias_table.copy_(base)
+    # build OUR gathered bias from the reference's table through the REF index
+    ref_idx = ref.relative_position_index.numpy()
+    our_idx = relative_position_index(ws)
+    # construct a table such that our gather reproduces the ref's bias matrix:
+    # possible exactly when our index is injective over used entries (it is
+    # translation-structured); map our_idx entry -> ref bias value
+    n = 8
+    ref_bias = base.numpy()[ref_idx.reshape(-1)].reshape(n, n, nh)
+    our_table = np.zeros(((2 * 2 - 1) ** 3, nh), np.float32)
+    for i in range(n):
+        for j in range(n):
+            our_table[our_idx[i, j]] = ref_bias[i, j]
+
+    params = {
+        "kv": dense_params(ref.kv),
+        "proj": dense_params(ref.proj),
+        "relative_position_bias_table": jnp.asarray(our_table),
+    }
+    rng = np.random.default_rng(5)
+    skip = rng.normal(size=(4, n, dim)).astype(np.float32)
+    up = rng.normal(size=(4, n, dim)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(skip), torch.from_numpy(up)).numpy()
+    got = ours.apply({"params": params}, jnp.asarray(skip), jnp.asarray(up))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=3e-4, atol=3e-5)
