@@ -110,6 +110,7 @@ class SwinUNETRDecoder(nn.Module):
     hidden_size: int = 48
     patch_size: Tuple[int, int, int] = (2, 2, 2)
     num_layers: int = 4
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -118,21 +119,27 @@ class SwinUNETRDecoder(nn.Module):
         nl = self.num_layers
         assert len(z) == nl + 1
 
+        # remat partitions the decoder backward into per-block computations:
+        # the whole-graph backward at batch >= 2 crashes this pod's AOT
+        # compiler even though every block compiles individually
+        res_cls = nn.remat(UnetResBlock) if self.remat else UnetResBlock
+        up_cls = nn.remat(UnetrUpBlock) if self.remat else UnetrUpBlock
+
         # per-scale residual refiners ("unet_encoders" in the reference)
-        enc0 = UnetResBlock(h, dtype=self.dtype, name="encoder0")(
+        enc0 = res_cls(h, dtype=self.dtype, name="encoder0")(
             vol.astype(self.dtype))
-        enc = [UnetResBlock(h, dtype=self.dtype, name="encoder1")(z[0])]
+        enc = [res_cls(h, dtype=self.dtype, name="encoder1")(z[0])]
         for i in range(nl):
-            enc.append(UnetResBlock(h * 2 ** (i + 1), dtype=self.dtype,
-                                    name=f"encoder{i + 2}")(z[i + 1]))
+            enc.append(res_cls(h * 2 ** (i + 1), dtype=self.dtype,
+                               name=f"encoder{i + 2}")(z[i + 1]))
 
         # top-down: dec[i] maps h*2^(i+1) -> h*2^i with skip at h*2^i
         x = enc[-1]
         for i in range(nl - 1, -1, -1):
-            x = UnetrUpBlock(h * 2 ** i, dtype=self.dtype,
-                             name=f"decoder{i + 1}")(x, enc[i])
-        x = UnetrUpBlock(h, upsample=self.patch_size, dtype=self.dtype,
-                         name="decoder0")(x, enc0)
+            x = up_cls(h * 2 ** i, dtype=self.dtype,
+                       name=f"decoder{i + 1}")(x, enc[i])
+        x = up_cls(h, upsample=self.patch_size, dtype=self.dtype,
+                   name="decoder0")(x, enc0)
         return UnetOutBlock(self.out_channels, dtype=self.dtype, name="out")(x)
 
 
@@ -147,6 +154,7 @@ class SwinUNETRCustom(nn.Module):
     out_channels: int
     hidden_size: int = 48
     patch_size: Tuple[int, int, int] = (2, 2, 2)
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -156,7 +164,7 @@ class SwinUNETRCustom(nn.Module):
         return SwinUNETRDecoder(
             out_channels=self.out_channels, hidden_size=self.hidden_size,
             patch_size=self.patch_size, num_layers=len(z) - 1,
-            dtype=self.dtype, name="decoder")(vol, z)
+            remat=self.remat, dtype=self.dtype, name="decoder")(vol, z)
 
 
 class _LinearEmbed(nn.Module):

@@ -102,7 +102,7 @@ def build_model(cfg: Config) -> nn.Module:
         return SwinUNETRCustom(
             encoder=encoder, out_channels=cfg.output_dim,
             hidden_size=cfg.hidden_dim, patch_size=cfg.patch_size3(),
-            dtype=dtype)
+            remat=cfg.remat, dtype=dtype)
 
     if name == "SwinSegFormer":
         # the reference builds this encoder without LCV/affine options
