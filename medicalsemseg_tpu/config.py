@@ -164,6 +164,9 @@ class Config:
     # bound sliding-window recompilations (static shapes, SURVEY.md §7.4)
     grad_accum_steps: int = 1  # micro-batch accumulation (optax.MultiSteps);
     # the reference steps every iteration (SURVEY.md §2.4)
+    pallas_train: bool = False  # opt-in: fused attention in TRAINING via the
+    # custom VJP (gradient-verified); this pod's AOT compiler rejects the
+    # flagship whole-graph backward with the kernel inside, so default off
     use_pallas_attention: bool = True  # fused window-attention kernel on TPU
     # inference paths only (training keeps the XLA path until a custom VJP
     # lands). +17% on the isolated attention layer and +9% on the end-to-end
@@ -311,6 +314,7 @@ def build_parser() -> argparse.ArgumentParser:
     _add_bool_flag(g, "tta_mirror", False)
     _add_bool_flag(g, "remat", False)
     _add_bool_flag(g, "device_data_pipeline", False)
+    _add_bool_flag(g, "pallas_train", False)
 
     return p
 

@@ -81,6 +81,7 @@ def _swin_encoder(cfg: Config, mlp_type: str) -> SwinEncoder3D:
         use_abs_pos_emb=cfg.abs_pos_emb,
         global_token=cfg.global_token,
         use_pallas=_use_pallas(cfg),
+        pallas_train=cfg.pallas_train,
         remat=cfg.remat,
         dtype=_compute_dtype(cfg),
     )

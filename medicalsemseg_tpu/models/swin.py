@@ -114,13 +114,16 @@ class WindowAttention(nn.Module):
 
         if x_volume is not None:
             # fused Pallas path: partition+qkv+attention+proj+reverse in one
-            # kernel over the (already padded/rolled) volume
+            # kernel over the (already padded/rolled) volume; the trainable
+            # variant carries a custom VJP (flash-style recompute backward)
             from medicalsemseg_tpu.ops.pallas.window_attention import (
-                fused_window_attention)
+                fused_window_attention_trainable)
 
-            out_vol = fused_window_attention(
-                x_volume.astype(self.dtype), wqkv, bqkv, wproj, bproj,
-                rel_table, self.window_size[0], nh, shift_size=shift_size)
+            bq = bqkv if bqkv is not None else jnp.zeros(
+                (3 * self.dim,), jnp.float32)
+            out_vol = fused_window_attention_trainable(
+                x_volume.astype(self.dtype), wqkv, bq, wproj, bproj,
+                rel_table, self.window_size[0], nh, shift_size)
             return out_vol, gt
 
         b_, n_tok, c = x.shape
@@ -219,6 +222,7 @@ class SwinBlock(nn.Module):
     global_token: bool = False
     mlp_type: str = "dense"
     use_pallas: bool = False
+    pallas_train: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -245,9 +249,14 @@ class SwinBlock(nn.Module):
             global_token=self.global_token, dtype=self.dtype, name="attn")
 
         # the fused Pallas kernel covers the plain path (no global token,
-        # no affine bias, no attention dropout)
+        # no affine bias). Training can opt in via pallas_train (custom VJP;
+        # gradient-verified) — off by default because this pod's AOT compiler
+        # rejects the flagship whole-graph backward with the kernel inside.
         fuse = (self.use_pallas and not self.global_token
-                and not self.rel_pos_bias_affine and deterministic)
+                and not self.rel_pos_bias_affine
+                and (deterministic or (self.pallas_train
+                                       and self.attn_drop == 0.0
+                                       and self.drop == 0.0)))
         if fuse:
             xn, gt = attn(None, gt=gt, deterministic=deterministic,
                           x_volume=xn, shift_size=ss)
@@ -307,6 +316,7 @@ class BasicLayer(nn.Module):
     global_token: bool = False
     mlp_type: str = "dense"
     use_pallas: bool = False
+    pallas_train: bool = False
     remat: bool = False
     dtype: Dtype = jnp.float32
 
@@ -327,7 +337,7 @@ class BasicLayer(nn.Module):
                 drop_path_rate=self.drop_path_rates[i],
                 rel_pos_bias_affine=self.rel_pos_bias_affine,
                 global_token=self.global_token, mlp_type=self.mlp_type,
-                use_pallas=self.use_pallas,
+                use_pallas=self.use_pallas, pallas_train=self.pallas_train,
                 dtype=self.dtype, name=f"blocks_{i}")(
                     x, affine, gt, deterministic)
         x_down = PatchMerging(dim=self.dim, dtype=self.dtype, name="downsample")(x)
@@ -375,6 +385,7 @@ class SwinEncoder3D(nn.Module):
     use_abs_pos_emb: bool = False
     global_token: bool = False
     use_pallas: bool = False
+    pallas_train: bool = False
     remat: bool = False
     dtype: Dtype = jnp.float32
 
@@ -455,7 +466,8 @@ class SwinEncoder3D(nn.Module):
                 drop_path_rates=dpr[sum(self.depths[:i]):sum(self.depths[:i + 1])],
                 rel_pos_bias_affine=self.rel_pos_bias_affine,
                 global_token=self.global_token, mlp_type=self.mlp_type,
-                use_pallas=self.use_pallas, remat=self.remat,
+                use_pallas=self.use_pallas, pallas_train=self.pallas_train,
+                remat=self.remat,
                 dtype=self.dtype, name=f"layers_{i}")(
                     x, affine=affine, gt=gt, deterministic=deterministic)
             # the reference norms the *downsampled* tensor as the stage output

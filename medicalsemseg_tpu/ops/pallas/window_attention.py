@@ -43,6 +43,41 @@ from medicalsemseg_tpu.ops.window import (
 
 
 
+def _window_mask(wpb: int, n: int, grid_dims: Tuple[int, int, int],
+                 ws: int, ss: int):
+    """In-kernel SW-MSA mask for the current tile of wpb windows.
+
+    A token pair is visible iff its pre-shift region labels match along every
+    axis; labels depend only on (is this the last window along the axis?,
+    token position). Token coordinates come from iota (pallas kernels cannot
+    capture host array constants).
+    """
+    nwd, nwh, nww = grid_dims
+    blk = pl.program_id(0)
+    g0 = blk * wpb
+    gids = g0 + jax.lax.broadcasted_iota(jnp.int32, (wpb, 1), 0)[:, 0]
+    # batch-major window ordering: g = ((b*nwd + i)*nwh + j)*nww + k
+    kk = gids % nww
+    jj = (gids // nww) % nwh
+    ii = (gids // (nww * nwh)) % nwd
+    tok = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)[0]
+    pd = tok // (ws * ws)
+    ph = (tok // ws) % ws
+    pw = tok % ws
+    # region label along an axis: 0 unless last window; there, tokens past
+    # ws-ss are wrapped from the volume start (label 2 vs 1)
+    lab = lambda pos, last, nlast: jnp.where(  # noqa: E731
+        (last == nlast - 1)[:, None],
+        jnp.where(pos[None, :] < ws - ss, 1, 2), 0)
+    ld = lab(pd, ii, nwd)  # (wpb, N)
+    lh = lab(ph, jj, nwh)
+    lw = lab(pw, kk, nww)
+    same = ((ld[:, :, None] == ld[:, None, :])
+            & (lh[:, :, None] == lh[:, None, :])
+            & (lw[:, :, None] == lw[:, None, :]))
+    return jnp.where(same, 0.0, -100.0)  # (wpb, N, N) fp32, VMEM-only
+
+
 def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref,
             out_ref, *, num_heads: int, wpb: int, shifted: bool,
             grid_dims: Tuple[int, int, int], ws: int, ss: int):
@@ -57,35 +92,7 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref,
     qkv = (qkv + bqkv_ref[:]).astype(x_ref.dtype)
     qkv = qkv.reshape(wpb, n, 3 * c)
 
-    if shifted:
-        nwd, nwh, nww = grid_dims
-        blk = pl.program_id(0)
-        g0 = blk * wpb
-        gids = g0 + jax.lax.broadcasted_iota(jnp.int32, (wpb, 1), 0)[:, 0]
-        # batch-major window ordering: g = ((b*nwd + i)*nwh + j)*nww + k
-        kk = gids % nww
-        jj = (gids // nww) % nwh
-        ii = (gids // (nww * nwh)) % nwd
-        # per-token coordinates inside the ws^3 window, derived via iota
-        # (pallas kernels cannot capture host array constants)
-        tok = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)[0]
-        pd = tok // (ws * ws)
-        ph = (tok // ws) % ws
-        pw = tok % ws
-        # region label along an axis: 0 unless last window; there, tokens
-        # past ws-ss are wrapped from the volume start (label 2 vs 1)
-        lab = lambda pos, last, nlast: jnp.where(  # noqa: E731
-            (last == nlast - 1)[:, None],
-            jnp.where(pos[None, :] < ws - ss, 1, 2), 0)
-        ld = lab(pd, ii, nwd)  # (wpb, N)
-        lh = lab(ph, jj, nwh)
-        lw = lab(pw, kk, nww)
-        same = ((ld[:, :, None] == ld[:, None, :])
-                & (lh[:, :, None] == lh[:, None, :])
-                & (lw[:, :, None] == lw[:, None, :]))
-        mask = jnp.where(same, 0.0, -100.0)  # (wpb, N, N) fp32, VMEM-only
-    else:
-        mask = None
+    mask = (_window_mask(wpb, n, grid_dims, ws, ss) if shifted else None)
 
     outs = []
     for h in range(num_heads):
@@ -179,3 +186,238 @@ def fused_window_attention(
     )(wins, wqkv.astype(x.dtype), bqkv.astype(jnp.float32),
       wproj.astype(x.dtype), bproj.astype(jnp.float32), bias)
     return window_reverse(out, ws, (d, h, w))
+
+
+def _bwd_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bias_ref, dy_ref,
+                dx_ref, dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref,
+                dbias_ref, *, num_heads: int, wpb: int, shifted: bool,
+                grid_dims: Tuple[int, int, int], ws: int, ss: int,
+                acc_ref=None):
+    """Flash-style backward: recompute qkv + softmax in VMEM, produce dx per
+    tile; weight/bias grads accumulate in fp32 VMEM scratch across the
+    (sequential on TPU) grid steps and are written out at the last step."""
+    n = x_ref.shape[1]
+    c = x_ref.shape[-1]
+    hd = c // num_heads
+    scale = hd ** -0.5
+    nblk = pl.num_programs(0)
+    blk = pl.program_id(0)
+
+    # scratch layout: one flat fp32 buffer holding all weight-grad
+    # accumulators: dwqkv (c,3c) | dwproj (c,c) | dbqkv (1,3c) | dbproj (1,c)
+    # plus dbias (nh, n, n) as a second scratch
+    wacc, bacc = acc_ref
+
+    @pl.when(blk == 0)
+    def _init():
+        wacc[:] = jnp.zeros_like(wacc)
+        bacc[:] = jnp.zeros_like(bacc)
+
+    xw = x_ref[:].reshape(wpb * n, c)
+    qkv = jnp.dot(xw, wqkv_ref[:], preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[:]).astype(x_ref.dtype).reshape(wpb, n, 3 * c)
+
+    mask = (_window_mask(wpb, n, grid_dims, ws, ss) if shifted else None)
+
+    dy = dy_ref[:].reshape(wpb * n, c)
+    # out-projection grads: dout = dy Wproj^T; dWproj = o^T dy (o recomputed)
+    dout = jnp.dot(dy, wproj_ref[:].T,
+                   preferred_element_type=jnp.float32).astype(x_ref.dtype)
+    dout = dout.reshape(wpb, n, c)
+
+    o_parts = []
+    dqkv_parts = []
+    for h in range(num_heads):
+        q = qkv[:, :, h * hd:(h + 1) * hd]
+        k = qkv[:, :, c + h * hd:c + (h + 1) * hd]
+        v = qkv[:, :, 2 * c + h * hd:2 * c + (h + 1) * hd]
+        s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32) * scale
+        s = s + bias_ref[h][None]
+        if mask is not None:
+            s = s + mask
+        p32 = jax.nn.softmax(s, axis=-1)
+        p = p32.astype(x_ref.dtype)
+
+        o_parts.append(jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(x_ref.dtype))
+
+        do_h = dout[:, :, h * hd:(h + 1) * hd]
+        # dp = do v^T ; dv = p^T do
+        dp = jax.lax.dot_general(do_h, v, (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        dv = jax.lax.dot_general(p, do_h, (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        # softmax backward (fp32)
+        ds = p32 * (dp - jnp.sum(dp * p32, axis=-1, keepdims=True))
+        # bias grad: sum over this tile's windows (flushed at the last step)
+        bacc[h] += ds.sum(axis=0)
+        ds_l = (ds * scale).astype(x_ref.dtype)
+        dq = jax.lax.dot_general(ds_l, k, (((2,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(ds_l, q, (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        dqkv_parts.append((dq, dk, dv))
+
+    o = jnp.concatenate(o_parts, axis=-1).reshape(wpb * n, c)
+    # weight-grad accumulation (fp32 MXU)
+    dwproj = jax.lax.dot_general(o, dy, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    dbproj = dy.astype(jnp.float32).sum(axis=0)
+
+    dqkv = jnp.concatenate(
+        [jnp.concatenate([t[0] for t in dqkv_parts], axis=-1),
+         jnp.concatenate([t[1] for t in dqkv_parts], axis=-1),
+         jnp.concatenate([t[2] for t in dqkv_parts], axis=-1)], axis=-1)
+    dqkv = dqkv.reshape(wpb * n, 3 * c).astype(x_ref.dtype)
+
+    dx = jnp.dot(dqkv, wqkv_ref[:].T, preferred_element_type=jnp.float32)
+    dx_ref[:] = dx.astype(x_ref.dtype).reshape(wpb, n, c)
+
+    dwqkv = jax.lax.dot_general(xw, dqkv, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    dbqkv = dqkv.astype(jnp.float32).sum(axis=0)
+
+    wacc[0:c, 0:3 * c] += dwqkv
+    wacc[c:2 * c, 0:c] += dwproj
+    wacc[2 * c, 0:3 * c] += dbqkv
+    wacc[2 * c + 1, 0:c] += dbproj
+
+    @pl.when(blk == nblk - 1)
+    def _flush():
+        cc = c
+        dwqkv_ref[:] = wacc[0:cc, 0:3 * cc]
+        dwproj_ref[:] = wacc[cc:2 * cc, 0:cc]
+        dbqkv_ref[:] = wacc[2 * cc, 0:3 * cc]
+        dbproj_ref[:] = wacc[2 * cc + 1, 0:cc]
+        dbias_ref[:] = bacc[:]
+
+
+def _fused_bwd_windows(wins, wqkv, bqkv, wproj, bias, dy_wins, *, num_heads,
+                       wpb, shifted, grid_dims, ws, ss, interpret=False):
+    """Run the backward kernel over all window tiles; returns grads."""
+    total, n, c = wins.shape
+    grid = (total // wpb,)
+    kernel = functools.partial(_bwd_kernel, num_heads=num_heads, wpb=wpb,
+                               shifted=shifted, grid_dims=grid_dims, ws=ws,
+                               ss=ss)
+
+    def wrapped(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bias_ref, dy_ref,
+                dx_ref, dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref,
+                dbias_ref, wacc, bacc):
+        kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bias_ref, dy_ref,
+               dx_ref, dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref,
+               dbias_ref, acc_ref=(wacc, bacc))
+
+    outs = pl.pallas_call(
+        wrapped,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((wpb, n, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 3 * c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * c,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_heads, n, n), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wpb, n, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((wpb, n, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 3 * c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * c,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_heads, n, n), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((total, n, c), wins.dtype),
+            jax.ShapeDtypeStruct((c, 3 * c), jnp.float32),
+            jax.ShapeDtypeStruct((3 * c,), jnp.float32),
+            jax.ShapeDtypeStruct((c, c), jnp.float32),
+            jax.ShapeDtypeStruct((c,), jnp.float32),
+            jax.ShapeDtypeStruct((num_heads, n, n), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2 * c + 2, 3 * c), jnp.float32),
+            pltpu.VMEM((num_heads, n, n), jnp.float32),
+        ],
+        interpret=interpret,
+    )(wins, wqkv.astype(wins.dtype), bqkv.astype(jnp.float32),
+      wproj.astype(wins.dtype), bias, dy_wins)
+    return outs
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(6, 7, 8, 9, 10))
+def fused_window_attention_trainable(
+        x, wqkv, bqkv, wproj, bproj, rel_bias_table, window_size: int,
+        num_heads: int, shift_size: int = 0, windows_per_block: int = 8,
+        interpret: bool = False):
+    """Differentiable fused window attention (custom VJP).
+
+    Identical forward to :func:`fused_window_attention`; the backward is a
+    second Pallas kernel that recomputes qkv + softmax tile-by-tile
+    (flash-style — no (N, N) attention matrices or residuals in HBM) and
+    accumulates weight/bias grads in VMEM scratch across the sequential grid.
+    bqkv must be a concrete array here (pass zeros for no-bias).
+    """
+    return fused_window_attention(x, wqkv, bqkv, wproj, bproj, rel_bias_table,
+                                  window_size, num_heads, shift_size,
+                                  windows_per_block, interpret)
+
+
+def _fwa_fwd(x, wqkv, bqkv, wproj, bproj, rel_bias_table, window_size,
+             num_heads, shift_size, windows_per_block, interpret):
+    out = fused_window_attention(x, wqkv, bqkv, wproj, bproj, rel_bias_table,
+                                 window_size, num_heads, shift_size,
+                                 windows_per_block, interpret)
+    return out, (x, wqkv, bqkv, wproj, rel_bias_table)
+
+
+def _fwa_bwd(window_size, num_heads, shift_size, windows_per_block, interpret,
+             residuals, dy):
+    x, wqkv, bqkv, wproj, rel_bias_table = residuals
+    b, d, h, w, c = x.shape
+    ws = window_size
+    n = ws ** 3
+    grid_dims = (d // ws, h // ws, w // ws)
+    total = b * int(np.prod(grid_dims))
+
+    bias_bytes = num_heads * n * n * 4
+    per_win = n * 3 * c * 6 + 2 * n * n * 6 + n * c * 12
+    wpb_fit = max(int((6 * 1024 * 1024 - 2 * bias_bytes) // max(per_win, 1)), 1)
+    wpb = max(min(windows_per_block, wpb_fit), 1)
+    while total % wpb != 0:
+        wpb -= 1
+
+    idx = relative_position_index((ws, ws, ws))
+    bias = rel_bias_table[jnp.asarray(idx.reshape(-1))]
+    bias = bias.reshape(n, n, num_heads).transpose(2, 0, 1).astype(jnp.float32)
+
+    wins = window_partition(x, ws)
+    dy_wins = window_partition(dy.astype(x.dtype), ws)
+
+    dx_wins, dwqkv, dbqkv, dwproj, dbproj, dbias = _fused_bwd_windows(
+        wins, wqkv, bqkv, wproj, bias, dy_wins, num_heads=num_heads, wpb=wpb,
+        shifted=shift_size > 0, grid_dims=grid_dims, ws=ws, ss=shift_size,
+        interpret=interpret)
+
+    dx = window_reverse(dx_wins, ws, (d, h, w))
+    # scatter the (nh, N, N) bias grad back onto the rel-pos table
+    table_size = rel_bias_table.shape[0]
+    flat = dbias.transpose(1, 2, 0).reshape(-1, num_heads)  # (N*N, nh)
+    dtable = jax.ops.segment_sum(flat, jnp.asarray(idx.reshape(-1)),
+                                 num_segments=table_size)
+    return (dx.astype(x.dtype), dwqkv.astype(wqkv.dtype),
+            dbqkv.astype(bqkv.dtype), dwproj.astype(wproj.dtype),
+            dbproj, dtable.astype(rel_bias_table.dtype))
+
+
+fused_window_attention_trainable.defvjp(_fwa_fwd, _fwa_bwd)

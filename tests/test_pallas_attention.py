@@ -76,10 +76,14 @@ def test_encoder_pallas_flag_matches_xla_interpret(monkeypatch):
     """SwinEncoder3D(use_pallas=True) == use_pallas=False in interpret mode."""
     import medicalsemseg_tpu.ops.pallas.window_attention as pwa
 
-    orig = pwa.fused_window_attention
-    monkeypatch.setattr(
-        pwa, "fused_window_attention",
-        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+    orig = pwa.fused_window_attention_trainable
+
+    def interp(x, wqkv, bqkv, wproj, bproj, table, ws, nh, shift=0,
+               wpb=8, interpret=False):
+        return orig(x, wqkv, bqkv, wproj, bproj, table, ws, nh, shift, wpb,
+                    True)
+
+    monkeypatch.setattr(pwa, "fused_window_attention_trainable", interp)
 
     from medicalsemseg_tpu.models.swin import SwinEncoder3D
 

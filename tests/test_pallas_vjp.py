@@ -1,0 +1,84 @@
+"""Custom-VJP fused attention: gradients match jax.grad of the XLA path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import medicalsemseg_tpu.ops.pallas.window_attention as pwa
+from medicalsemseg_tpu.models.swin import WindowAttention
+from medicalsemseg_tpu.ops.window import (
+    shift_window_attn_mask,
+    window_partition,
+    window_reverse,
+)
+
+
+def _xla_forward(x, p, ws, nh, shift):
+    attn = WindowAttention(dim=x.shape[-1], window_size=(ws, ws, ws),
+                           num_heads=nh, n_windows=0, qkv_bias=True)
+    params = {"qkv_kernel": p["wqkv"], "qkv_bias": p["bqkv"],
+              "proj_kernel": p["wproj"], "proj_bias": p["bproj"],
+              "relative_position_bias_table": p["table"]}
+    mask = (shift_window_attn_mask(x.shape[1:4], ws, shift)
+            if shift > 0 else None)
+    wins = window_partition(x, ws)
+    out, _ = attn.apply({"params": params}, wins, mask=mask)
+    return window_reverse(out, ws, x.shape[1:4])
+
+
+@pytest.mark.parametrize("shift", [0, 1])
+def test_vjp_matches_xla_grads(monkeypatch, shift):
+    # force interpret mode inside both kernels (CPU)
+    orig_fwd = pwa.fused_window_attention
+    monkeypatch.setattr(pwa, "fused_window_attention",
+                        lambda *a, **k: orig_fwd(*a[:10], interpret=True)
+                        if len(a) >= 10 else orig_fwd(*a, **{**k, "interpret": True}))
+
+    rng = np.random.default_rng(0)
+    b, dims, ws, c, nh = 1, (4, 4, 4), 2, 8, 2
+    x = jnp.asarray(rng.normal(size=(b, *dims, c)).astype(np.float32))
+    p = {
+        "wqkv": jnp.asarray(rng.normal(size=(c, 3 * c)).astype(np.float32) * 0.2),
+        "bqkv": jnp.asarray(rng.normal(size=(3 * c,)).astype(np.float32) * 0.1),
+        "wproj": jnp.asarray(rng.normal(size=(c, c)).astype(np.float32) * 0.2),
+        "bproj": jnp.asarray(rng.normal(size=(c,)).astype(np.float32) * 0.1),
+        "table": jnp.asarray(
+            rng.normal(size=((2 * ws - 1) ** 3, nh)).astype(np.float32) * 0.05),
+    }
+    cot = jnp.asarray(rng.normal(size=(b, *dims, c)).astype(np.float32))
+
+    def loss_pallas(x, wqkv, bqkv, wproj, bproj, table):
+        y = pwa.fused_window_attention_trainable(
+            x, wqkv, bqkv, wproj, bproj, table, ws, nh, shift, 4, True)
+        return (y * cot).sum()
+
+    def loss_xla(x, wqkv, bqkv, wproj, bproj, table):
+        y = _xla_forward(x, {"wqkv": wqkv, "bqkv": bqkv, "wproj": wproj,
+                             "bproj": bproj, "table": table}, ws, nh, shift)
+        return (y * cot).sum()
+
+    args = (x, p["wqkv"], p["bqkv"], p["wproj"], p["bproj"], p["table"])
+    g_pallas = jax.grad(loss_pallas, argnums=(0, 1, 2, 3, 4, 5))(*args)
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2, 3, 4, 5))(*args)
+    names = ("dx", "dwqkv", "dbqkv", "dwproj", "dbproj", "dtable")
+    for name, a, b_ in zip(names, g_pallas, g_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)
+
+
+def test_vjp_forward_value_matches(monkeypatch):
+    rng = np.random.default_rng(1)
+    b, dims, ws, c, nh = 2, (4, 4, 4), 2, 4, 1
+    x = jnp.asarray(rng.normal(size=(b, *dims, c)).astype(np.float32))
+    wqkv = jnp.asarray(rng.normal(size=(c, 3 * c)).astype(np.float32) * 0.2)
+    bqkv = jnp.zeros((3 * c,), jnp.float32)
+    wproj = jnp.asarray(rng.normal(size=(c, c)).astype(np.float32) * 0.2)
+    bproj = jnp.zeros((c,), jnp.float32)
+    table = jnp.asarray(rng.normal(size=((2 * ws - 1) ** 3, nh)).astype(np.float32) * 0.05)
+    y1 = pwa.fused_window_attention_trainable(x, wqkv, bqkv, wproj, bproj,
+                                              table, ws, nh, 0, 4, True)
+    y2 = pwa.fused_window_attention(x, wqkv, bqkv, wproj, bproj, table, ws,
+                                    nh, 0, 4, True)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-6)
