@@ -136,3 +136,14 @@ def test_training_with_device_pipeline(trained):
     log = open(os.path.join(cfg_d.output_dir, "log.txt")).read().splitlines()
     rec = json.loads(log[0])
     assert np.isfinite(rec["train/loss"])
+
+
+def test_evaluation_with_mirror_tta(trained):
+    """8-way flip TTA through the eval driver."""
+    cfg, result, root, task, out_dir, tmp = trained
+    from medicalsemseg_tpu.cli.run_evaluation import main as eval_main
+
+    cfg_t = cfg.replace(resume=os.path.join(out_dir, "best_model"),
+                        output_dir=str(tmp / "eval_tta"), tta_mirror=True,
+                        save_eval_output=False)
+    eval_main(cfg_t)  # completes without error; metrics are finite

@@ -65,3 +65,14 @@ def test_grad_accum_optimizer_semantics():
     assert float(jnp.abs(up1["w"]).max()) == 0.0
     up2, state = tx.update(g, state, params)
     assert float(jnp.abs(up2["w"]).max()) > 0.0
+
+
+def test_tag_builder_matches_reference_semantics():
+    from medicalsemseg_tpu.utils.tags import tag_builder
+
+    cfg = Config(model="nnFormerUNETR", task="Task03_Liver")
+    assert tag_builder(cfg) == ["Finetuning", "nnFormerUNETR", "3D",
+                                "Decathlon", "Task03_Liver"]
+    cfg = Config(model="SwinDepth", task="Abdomen", input_dim=2)
+    assert tag_builder(cfg) == ["Finetuning", "SwinDepth", "2D", "BTCV",
+                                "Abdomen"]
