@@ -22,7 +22,7 @@ Fits when the dataset fits HBM next to the train state (BTCV: ~30 volumes x
 from __future__ import annotations
 
 import functools
-from typing import Dict, Iterator, List, Sequence, Tuple
+from typing import Dict, Iterator, List, Tuple
 
 import numpy as np
 
@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from medicalsemseg_tpu.config import Config
-from medicalsemseg_tpu.data.dataset import CachedVolumeDataset, _collate
+from medicalsemseg_tpu.data.dataset import CachedVolumeDataset
 from medicalsemseg_tpu.data.transforms import spatial_pad
 from medicalsemseg_tpu.infer.sliding_window import bucket_pad
 
