@@ -27,5 +27,10 @@ def majority_vote(fold_labels: jnp.ndarray, n_classes: int) -> jnp.ndarray:
 
 
 def majority_vote_np(fold_labels: np.ndarray, n_classes: int) -> np.ndarray:
-    """NumPy variant for the CLI script on host-resident NIfTI volumes."""
-    return np.asarray(majority_vote(jnp.asarray(fold_labels), n_classes))
+    """Pure-NumPy variant for the CLI script on host-resident NIfTI volumes
+    (eager jax ops pay a dispatch round-trip each on this backend)."""
+    votes = np.zeros((n_classes,) + fold_labels.shape[1:], np.int32)
+    for c in range(n_classes):
+        votes[c] = (fold_labels == c).sum(axis=0)
+    votes[0] += 1
+    return votes.argmax(axis=0).astype(np.int32)
