@@ -184,3 +184,15 @@ def test_nnformer_official_forward_and_deep_supervision():
     assert len(heads) == 2
     assert heads[0].shape == (1, 16, 16, 16, 3)   # full res first
     assert heads[1].shape == (1, 8, 8, 8, 3)      # 1/2 res
+
+
+def test_lcv_only_forward():
+    """--lcv_only: class vectors fully replace the conv patch embedding
+    (reference: swin_nnformer.py:616-625)."""
+    cfg = tiny_cfg(model="nnFormerUNETR", learned_cls_vectors=True,
+                   lcv_only=True, lcv_vector_dim=6, lcv_final_layer=True,
+                   t_fixed_ct_intensity=True)
+    model = build_model(cfg)
+    out = init_and_apply(model, make_inputs(cfg))
+    assert out.shape == (1, 32, 32, 32, 3)
+    assert bool(jnp.isfinite(out).all())
