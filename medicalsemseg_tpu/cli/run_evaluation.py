@@ -107,7 +107,7 @@ def main(cfg: Config):
     enable_compilation_cache()
     data_json = os.path.join(cfg.data_path, cfg.task, cfg.json_list)
     files = load_decathlon_datalist(data_json, "validation")
-    ds = CachedVolumeDataset(files, cfg, cache_rate=0.0)
+    ds = CachedVolumeDataset(files, cfg, cache_rate=0.0, mode="val")
     loader = EvalLoader(ds)
 
     model = build_model(cfg)

@@ -95,7 +95,7 @@ def main(cfg: Config):
     enable_compilation_cache()
     data_json = os.path.join(cfg.data_path, cfg.task, cfg.json_list)
     files = load_decathlon_datalist(data_json, "test")
-    ds = CachedVolumeDataset(files, cfg, cache_rate=0.0, is_test=True)
+    ds = CachedVolumeDataset(files, cfg, cache_rate=0.0, mode="test")
     loader = EvalLoader(ds)
 
     model = build_model(cfg)

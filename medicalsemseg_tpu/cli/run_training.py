@@ -78,7 +78,8 @@ def main(cfg: Config) -> dict:
     ds_train = CachedVolumeDataset(train_part, cfg,
                                    cfg.cache_rate_train if cfg.cache_dataset else 0.0)
     ds_val = CachedVolumeDataset(val_part, cfg,
-                                 cfg.cache_rate_val if cfg.cache_dataset else 0.0)
+                                 cfg.cache_rate_val if cfg.cache_dataset else 0.0,
+                                 mode="val")
     if cfg.device_data_pipeline:
         from medicalsemseg_tpu.data.device_pipeline import (
             DeviceCachedDataset,

@@ -306,7 +306,7 @@ def build_parser() -> argparse.ArgumentParser:
     g = p.add_argument_group("tpu")
     g.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
-    g.add_argument("--sw_batch_size", type=int, default=4)
+    g.add_argument("--sw_batch_size", type=int, default=16)
     g.add_argument("--drop_path_rate", type=float, default=0.2)
     _add_bool_flag(g, "use_pallas_attention", True,
                    false_flag="--no_pallas_attention")

@@ -36,10 +36,10 @@ class CachedVolumeDataset:
     """
 
     def __init__(self, files: Sequence[Dict], cfg: Config,
-                 cache_rate: float = 1.0, is_test: bool = False):
+                 cache_rate: float = 1.0, mode: str = "train"):
         self.files = list(files)
         self.cfg = cfg
-        self.is_test = is_test
+        self.mode = mode
         n_cache = int(len(self.files) * cache_rate)
         self._cache: Dict[int, Sample] = {}
         for i in range(n_cache):
@@ -48,7 +48,7 @@ class CachedVolumeDataset:
     def _load(self, idx: int) -> Sample:
         f = self.files[idx]
         return load_and_preprocess(f["image"], f.get("label"), self.cfg,
-                                   is_test=self.is_test)
+                                   mode=self.mode)
 
     def __len__(self) -> int:
         return len(self.files)

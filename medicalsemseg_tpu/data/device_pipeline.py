@@ -35,14 +35,18 @@ from medicalsemseg_tpu.data.transforms import spatial_pad
 from medicalsemseg_tpu.infer.sliding_window import bucket_pad
 
 
-@functools.partial(jax.jit, static_argnames=("roi",))
+@functools.partial(jax.jit, static_argnames=("roi", "norm"))
 def _extract_and_augment(image, label, center, flip_bits, rot_k, shift, scale,
-                         *, roi: Tuple[int, int, int]):
-    """Crop at center, flip/rot90/intensity-augment — all on device.
+                         mean, std, *, roi: Tuple[int, int, int],
+                         norm: str = "none"):
+    """Crop at center, flip/rot90/intensity-augment/normalize — all on device.
 
     image (D, H, W, C), label (D, H, W); center is the crop center (the crop
     start is center - roi//2, pre-clamped on host); flip_bits (3,) bool;
     rot_k scalar int (0-3, first two spatial axes); shift/scale scalars.
+    norm mirrors the reference train pipeline's trailing NormalizeIntensityd
+    (dataset_builder.py:188-207): 'scalar' = (x-mean)/std, 'channel' =
+    per-channel nonzero-masked standardization of the augmented crop.
     """
     start = center - jnp.asarray([r // 2 for r in roi])
     img = jax.lax.dynamic_slice(image, (start[0], start[1], start[2], 0),
@@ -61,6 +65,16 @@ def _extract_and_augment(image, label, center, flip_bits, rot_k, shift, scale,
                               [functools.partial(rot, k) for k in (1, 2, 3)],
                               (img, lab))
     img = img * scale + shift
+    if norm == "scalar":
+        img = (img - mean) / std
+    elif norm == "channel":
+        mask = img != 0
+        cnt = mask.sum((0, 1, 2))
+        safe = jnp.maximum(cnt, 1)
+        mu = jnp.where(mask, img, 0.0).sum((0, 1, 2)) / safe
+        var = jnp.where(mask, (img - mu) ** 2, 0.0).sum((0, 1, 2)) / safe
+        std_c = jnp.maximum(jnp.sqrt(var), 1e-8)
+        img = jnp.where(mask & (cnt > 0), (img - mu) / std_c, img)
     return img, lab
 
 
@@ -133,10 +147,15 @@ class DeviceCachedDataset:
                  if (cfg.t_intensity_scale_prob > 0
                      and rng.random() < cfg.t_intensity_scale_prob)
                  else np.float32(1.0))
+        norm = "none"
+        if cfg.t_normalize:
+            norm = "channel" if cfg.t_normalize_channel_wise else "scalar"
         img, lab = _extract_and_augment(
             self.images[idx], self.labels[idx], jnp.asarray(center, jnp.int32),
             jnp.asarray(flips), jnp.asarray(rot_k, jnp.int32),
-            jnp.asarray(shift), jnp.asarray(scale), roi=self.roi)
+            jnp.asarray(shift), jnp.asarray(scale),
+            jnp.asarray(np.float32(cfg.t_norm_mean)),
+            jnp.asarray(np.float32(cfg.t_norm_std)), roi=self.roi, norm=norm)
         crop_loc = (center / np.asarray(self.shapes[idx])).astype(np.float32)
         affine_xyz = np.diag(self.affines[idx])[:3].astype(np.float32)
         return {"image": img, "label": lab,

@@ -285,25 +285,41 @@ class Sample:
     image: np.ndarray            # (D, H, W, C) float32
     label: Optional[np.ndarray]  # (D, H, W, 1) int/float or None (test)
     affine: np.ndarray           # 4x4 post-transform affine
-    original_affine: np.ndarray  # 4x4 affine straight from disk (RAS)
+    original_affine: np.ndarray  # 4x4 on-disk affine (pre-orientation), the
+    #                              MONAI meta 'original_affine' the reference
+    #                              feeds to get_affine_xyz (utils/misc.py:427)
     original_shape: Tuple3       # pre-Spacingd spatial shape
     crop_mask: Optional[np.ndarray] = None  # 'label4crop' dilated mask
     name: str = ""
 
 
 def load_and_preprocess(image_path: str, label_path: Optional[str],
-                        cfg: Config, is_test: bool = False) -> Sample:
+                        cfg: Config, mode: str = "train") -> Sample:
     """LoadImaged -> channels-last -> RAS -> Spacingd -> intensity chain
-    (the deterministic prefix shared by train/val/test pipelines,
-    reference: dataset_builder.py:19-88, :220-306, :308-377)."""
+    (the deterministic prefix of the train/val/test pipelines,
+    reference: dataset_builder.py:19-88, :220-306, :308-377).
+
+    mode-specific gating mirrors the three reference pipelines exactly:
+      * train: crop-foreground (plain and/or k-divisible) + spatial-pad; the
+        final NormalizeIntensityd runs per-crop in sample_training_crops
+        (the reference applies it LAST, after crops and intensity augs);
+      * val:   plain crop-foreground only (no kdiv, reference :271-276),
+        spatial-pad, normalize here (no crops downstream);
+      * test:  no reorientation, no crop-foreground, no spatial-pad
+        (reference :308-377 includes neither), normalize here.
+    """
+    assert mode in ("train", "val", "test"), mode
+    is_test = mode == "test"
     img_nii = nifti.load(image_path)
     img = np.asarray(img_nii.data)
     affine = img_nii.affine
+    # MONAI meta original_affine = the on-disk affine BEFORE Orientationd
+    original_affine = affine.copy()
     if img.ndim == 3:
         img = img[..., None]
     if not is_test:  # test pipeline skips reorientation (reference :313)
         img, affine = nifti.to_ras(img, affine)
-    original_affine = affine.copy()
+    ras_affine = affine.copy()  # post-orientation, pre-Spacingd
     original_shape = img.shape[:3]
 
     label = None
@@ -320,7 +336,7 @@ def load_and_preprocess(image_path: str, label_path: Optional[str],
         dims = as_tuple3(cfg.t_voxel_dims)
         img, affine = spacing_resample_np(img, affine, dims, mode="trilinear")
         if label is not None:
-            label, _ = spacing_resample_np(label, original_affine, dims,
+            label, _ = spacing_resample_np(label, ras_affine, dims,
                                            mode="nearest")
 
     if cfg.t_cubed_ct_intensity:
@@ -333,26 +349,30 @@ def load_and_preprocess(image_path: str, label_path: Optional[str],
     if cfg.t_convert_labels_to_brats and label is not None and cfg.in_chans > 1:
         label = convert_labels_to_brats(label)
 
-    if cfg.t_crop_foreground_img or cfg.t_crop_foreground_kdiv:
-        kdiv = cfg.vol_size3() if cfg.t_crop_foreground_kdiv else None
-        start, end = crop_foreground_bbox(img, k_divisible=kdiv)
-        img = crop_with_bbox(img, start, end)
-        if label is not None:
-            label = crop_with_bbox(label, start, end)
+    if not is_test:
+        do_kdiv = cfg.t_crop_foreground_kdiv and mode == "train"
+        if cfg.t_crop_foreground_img or do_kdiv:
+            kdiv = cfg.vol_size3() if do_kdiv else None
+            start, end = crop_foreground_bbox(img, k_divisible=kdiv)
+            img = crop_with_bbox(img, start, end)
+            if label is not None:
+                label = crop_with_bbox(label, start, end)
 
-    if cfg.t_spatial_pad:
-        img = spatial_pad(img, cfg.vol_size3())
-        if label is not None:
-            label = spatial_pad(label, cfg.vol_size3())
+        if cfg.t_spatial_pad:
+            img = spatial_pad(img, cfg.vol_size3())
+            if label is not None:
+                label = spatial_pad(label, cfg.vol_size3())
 
-    if cfg.t_normalize:
+    if cfg.t_normalize and mode != "train":
+        # train normalizes per-crop after the intensity augs (reference
+        # train pipeline order, dataset_builder.py:188-207 last)
         if cfg.t_normalize_channel_wise:
             img = normalize_intensity(img, nonzero=True, channel_wise=True)
         else:
             img = normalize_intensity(img, cfg.t_norm_mean, cfg.t_norm_std)
 
     crop_mask = None
-    if cfg.t_rand_crop_dilated_center and label is not None and not is_test:
+    if cfg.t_rand_crop_dilated_center and label is not None and mode == "train":
         crop_mask = dilated_center_mask(label, cfg.output_dim)
 
     return Sample(image=np.ascontiguousarray(img, np.float32),
@@ -407,6 +427,13 @@ def sample_training_crops(sample: Sample, cfg: Config,
             ci = rand_shift_intensity(ci, cfg.t_intensity_shift_os, rng)
         if cfg.t_intensity_scale_prob > 0 and rng.random() < cfg.t_intensity_scale_prob:
             ci = rand_scale_intensity(ci, cfg.t_intensity_scale_factors, rng)
+        if cfg.t_normalize:
+            # LAST, per crop, after intensity augs (reference train order:
+            # dataset_builder.py:188-207 appended after RandScaleIntensityd)
+            if cfg.t_normalize_channel_wise:
+                ci = normalize_intensity(ci, nonzero=True, channel_wise=True)
+            else:
+                ci = normalize_intensity(ci, cfg.t_norm_mean, cfg.t_norm_std)
         # rel crop location = center / orig_size (reference: utils/misc.py:434-441)
         crop_loc = (np.asarray(center, np.float32)
                     / np.asarray(shape, np.float32))

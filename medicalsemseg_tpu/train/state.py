@@ -12,10 +12,13 @@ The TPU-native re-layering of the reference's training machinery
     is a single jitted function; under a sharded batch XLA inserts the gradient
     all-reduce over ICI, which is the reference's DDP backward
     (engine/train.py:73) without the machinery;
-  * BatchNorm stats for the conv-MLP encoders are batch-local per shard and
-    periodically consistent because params are replicated — exact SyncBN-style
-    cross-shard stat sync (reference: run_training.py:83) is provided by
-    `sync_batch_stats` via pmean at epoch boundaries.
+  * SyncBN (reference: run_training.py:83) needs no machinery here: the train
+    step is ONE global SPMD program, so the BatchNorm batch-mean/var
+    reductions inside it are computed over the full sharded batch — XLA
+    inserts the cross-device (and cross-host) all-reduce. Stats are therefore
+    globally synchronized by construction on every step, which is strictly
+    stronger than torch's SyncBN wrapper (verified in
+    tests/test_sharding.py::test_batchnorm_stats_are_globally_reduced).
 """
 
 from __future__ import annotations
@@ -157,20 +160,9 @@ def make_eval_forward(cfg: Config, model):
     return forward
 
 
-def sync_batch_stats(state: TrainState, mesh=None) -> TrainState:
-    """Average per-shard BatchNorm running stats (SyncBN analogue).
-
-    With replicated params and a sharded batch the stats evolve identically on
-    every chip under jit, so this is a no-op there; it matters when stats are
-    accumulated per-host in a multi-process setup.
-    """
-    leaves = jax.tree_util.tree_leaves(state.batch_stats)
-    if not leaves:
-        return state
-    n = jax.process_count()
-    if n == 1:
-        return state
-    stats = jax.tree_util.tree_map(
-        lambda x: jax.lax.pmean(x, axis_name="hosts") if hasattr(x, "shape") else x,
-        state.batch_stats)
-    return state.replace(batch_stats=stats)
+# NOTE: there is deliberately no sync_batch_stats() here. The reference wraps
+# the model in torch SyncBatchNorm because DDP computes BN stats per-replica
+# (run_training.py:83); in this framework the train step is one global SPMD
+# program over the mesh, so BN's batch reductions already span the entire
+# sharded batch across all devices and hosts — the stats in
+# state.batch_stats are identical on every chip after every step.

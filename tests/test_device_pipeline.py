@@ -30,7 +30,7 @@ def test_extract_and_augment_matches_numpy():
     got_i, got_l = _extract_and_augment(
         jnp.asarray(img), jnp.asarray(lab), jnp.asarray(center, jnp.int32),
         jnp.zeros(3, bool), jnp.asarray(0), jnp.float32(0), jnp.float32(1),
-        roi=roi)
+        jnp.float32(0), jnp.float32(1), roi=roi)
     want_i = img[start[0]:start[0] + 8, start[1]:start[1] + 8,
                  start[2]:start[2] + 8]
     np.testing.assert_array_equal(np.asarray(got_i), want_i)
@@ -42,7 +42,7 @@ def test_extract_and_augment_matches_numpy():
     got_i, got_l = _extract_and_augment(
         jnp.asarray(img), jnp.asarray(lab), jnp.asarray(center, jnp.int32),
         jnp.asarray([True, False, True]), jnp.asarray(2), jnp.float32(0.5),
-        jnp.float32(2.0), roi=roi)
+        jnp.float32(2.0), jnp.float32(0), jnp.float32(1), roi=roi)
     want = np.flip(np.flip(want_i, 0), 2)
     want = np.rot90(want, 2, axes=(0, 1)) * 2.0 + 0.5
     np.testing.assert_allclose(np.asarray(got_i), want, rtol=1e-6)
@@ -93,3 +93,38 @@ def test_fg_sampling_hits_foreground(device_ds):
         crop = ds.sample_crop(0, rng)
         hits += int((np.asarray(crop["label"]) != 0).any())
     assert hits >= 8  # pos weight 1.0/1.0 -> at least the fg half must hit
+
+
+def test_device_channel_norm_matches_host():
+    """norm='channel' in _extract_and_augment must match the host
+    NormalizeIntensityd(nonzero=True, channel_wise=True) semantics applied to
+    the augmented crop (reference train order: normalize last)."""
+    from medicalsemseg_tpu.data.transforms import normalize_intensity
+
+    rng = np.random.default_rng(7)
+    img = rng.normal(size=(16, 16, 16, 2)).astype(np.float32)
+    img[img < -0.5] = 0.0  # ensure a real nonzero mask
+    lab = rng.integers(0, 3, (16, 16, 16)).astype(np.int32)
+    roi = (8, 8, 8)
+    center = np.asarray([8, 8, 8])
+
+    got_i, _ = _extract_and_augment(
+        jnp.asarray(img), jnp.asarray(lab), jnp.asarray(center, jnp.int32),
+        jnp.zeros(3, bool), jnp.asarray(0), jnp.float32(0.25), jnp.float32(1.5),
+        jnp.float32(0), jnp.float32(1), roi=roi, norm="channel")
+
+    crop = img[4:12, 4:12, 4:12] * 1.5 + 0.25
+    want = normalize_intensity(crop, nonzero=True, channel_wise=True)
+    np.testing.assert_allclose(np.asarray(got_i), want, rtol=2e-5, atol=2e-6)
+
+
+def test_device_scalar_norm():
+    rng = np.random.default_rng(8)
+    img = rng.normal(size=(16, 16, 16, 1)).astype(np.float32)
+    lab = np.zeros((16, 16, 16), np.int32)
+    got_i, _ = _extract_and_augment(
+        jnp.asarray(img), jnp.asarray(lab), jnp.asarray([8, 8, 8], jnp.int32),
+        jnp.zeros(3, bool), jnp.asarray(0), jnp.float32(0), jnp.float32(1),
+        jnp.float32(0.5), jnp.float32(0.25), roi=(8, 8, 8), norm="scalar")
+    want = (img[4:12, 4:12, 4:12] - 0.5) / 0.25
+    np.testing.assert_allclose(np.asarray(got_i), want, rtol=1e-6)

@@ -232,3 +232,64 @@ def test_build_cv_file_lists_presplit(tmp_path):
     cfg = Config(data_path=root, task=task)
     tr, va = build_cv_file_lists(cfg)
     assert len(tr) == 4 and len(va) == 2
+
+
+def test_pipeline_mode_gating(tmp_path):
+    """The three reference pipelines differ (dataset_builder.py train :19-217
+    / val :220-306 / test :308-377): train normalizes LAST (per-crop, after
+    intensity augs), val applies plain crop-foreground but never the
+    k-divisible variant, and test applies neither crop-foreground nor
+    spatial-pad."""
+    root, task = _write_decathlon(tmp_path, n=1, shape=(20, 22, 24))
+    files = load_decathlon_datalist(os.path.join(root, task, "dataset.json"),
+                                    "training")
+    cfg = Config(vol_size=16, t_fixed_ct_intensity=True, t_ct_min=-100,
+                 t_ct_max=200, t_normalize=True, t_norm_mean=0.5,
+                 t_norm_std=0.25, t_crop_foreground_img=True,
+                 t_crop_foreground_kdiv=True, t_spatial_pad=True,
+                 t_rand_spatial_crop=True, t_n_patches_per_image=1,
+                 output_dim=3)
+
+    # train: cached volume is NOT normalized (still in [0, 1] intensity range);
+    # normalization happens per crop, after the augmentations
+    s_tr = load_and_preprocess(files[0]["image"], files[0]["label"], cfg,
+                               mode="train")
+    assert s_tr.image.min() >= -1e-6 and s_tr.image.max() <= 1.0 + 1e-6
+    # kdiv crop-foreground pads the fg bbox up to multiples of vol_size
+    assert all(d % 16 == 0 for d in s_tr.image.shape[:3])
+    crop = sample_training_crops(s_tr, cfg, np.random.default_rng(0))[0]
+    cfg_nonorm = Config(**{**cfg.__dict__, "t_normalize": False})
+    s_raw = load_and_preprocess(files[0]["image"], files[0]["label"],
+                                cfg_nonorm, mode="train")
+    crop_raw = sample_training_crops(s_raw, cfg_nonorm,
+                                     np.random.default_rng(0))[0]
+    np.testing.assert_allclose(crop["image"],
+                               (crop_raw["image"] - 0.5) / 0.25, rtol=1e-5)
+
+    # val: normalized in the volume pipeline, plain fg crop (no kdiv),
+    # spatial-pad applies
+    s_val = load_and_preprocess(files[0]["image"], files[0]["label"], cfg,
+                                mode="val")
+    assert s_val.image.min() < -1e-3  # normalized -> mean-ish 0.5 subtracted
+    assert all(d >= 16 for d in s_val.image.shape[:3])
+
+    # test: no crop-foreground, no spatial-pad -> original grid preserved
+    s_te = load_and_preprocess(files[0]["image"], None, cfg, mode="test")
+    assert s_te.image.shape[:3] == (20, 22, 24)
+    assert s_te.image.min() < -1e-3  # but still normalized
+
+
+def test_original_affine_is_pre_orientation(tmp_path):
+    """Sample.original_affine must be the on-disk affine BEFORE RAS
+    reorientation (MONAI meta 'original_affine', what the reference's
+    get_affine_xyz consumes — utils/misc.py:427)."""
+    arr = np.random.default_rng(0).normal(size=(8, 9, 10)).astype(np.float32)
+    aff = np.diag([-1.5, 2.0, -2.5, 1.0])
+    aff[:3, 3] = [4.0, -3.0, 7.0]
+    p = str(tmp_path / "neg.nii.gz")
+    nifti.save(nifti.NiftiImage(arr, aff), p)
+    cfg = Config(output_dim=2)
+    s = load_and_preprocess(p, None, cfg, mode="train")
+    np.testing.assert_allclose(s.original_affine, aff, atol=1e-5)
+    # the working affine, by contrast, was reoriented to RAS (positive diag)
+    assert (np.diag(s.affine)[:3] > 0).all()

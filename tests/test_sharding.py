@@ -126,3 +126,38 @@ def test_sharded_eval_forward():
     out1 = jax.jit(fwd)(variables, jnp.asarray(batch["image"][:1]))
     np.testing.assert_allclose(np.asarray(out[:1]), np.asarray(out1),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_batchnorm_stats_are_globally_reduced():
+    """SyncBN falls out of SPMD: BN batch stats computed inside the sharded
+    train step equal the single-device full-batch stats (the reference needs
+    torch SyncBatchNorm for this, run_training.py:83)."""
+    cfg = Config(model="SwInception", vol_size=16, patch_size=2,
+                 hidden_dim=12, depths=(1, 1), num_heads=(2, 2),
+                 window_size=2, output_dim=3, compute_dtype="float32",
+                 warmup_epochs=0, lr=1e-3)
+    model = build_model(cfg)
+    batch_host = _batch(cfg, 8, seed=11)
+    x_probe = (jnp.asarray(batch_host["image"][:1]),
+               jnp.asarray(batch_host["crop_loc"][:1]),
+               jnp.asarray(batch_host["affine"][:1]))
+    state, _ = create_train_state(cfg, model, jax.random.PRNGKey(2), x_probe, 10)
+    assert jax.tree_util.tree_leaves(state.batch_stats), "model must have BN"
+    step_fn = make_train_step(cfg)
+    rng = jax.random.PRNGKey(5)
+
+    s1, _ = jax.jit(step_fn)(
+        state, {k: jnp.asarray(v) for k, v in batch_host.items()}, rng)
+
+    mesh = create_mesh()
+    data_sh = batch_sharding(mesh)
+    repl = replicated(mesh)
+    state_r = jax.device_put(state, repl)
+    bs = {k: jax.device_put(v, data_sh) for k, v in batch_host.items()}
+    s8, _ = jax.jit(step_fn, out_shardings=(repl, repl))(
+        state_r, bs, jax.device_put(rng, repl))
+
+    for a, b in zip(jax.tree_util.tree_leaves(s1.batch_stats),
+                    jax.tree_util.tree_leaves(s8.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
