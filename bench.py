@@ -1,13 +1,17 @@
-"""Benchmark: Gaussian sliding-window inference volumes/sec/chip.
+"""Benchmark: Gaussian sliding-window inference volumes/sec/chip + training.
 
 The north-star workload (BASELINE.md): flagship nnFormerUNETR, 96³ roi,
 overlap 0.5, Gaussian blending, bf16 compute, on a BTCV-like CT volume
 (240x240x140 after 1.5mm resampling + foreground crop) -> 32 windows.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 vs_baseline compares against the CPU reference throughput for the identical
 workload, extrapolated from a measured single-window fp32 forward on this
-pod's CPU (recorded in BASELINE.json under "cpu_measured").
+pod's CPU (recorded in BASELINE.json under "cpu_measured"). "extra" carries
+the training benchmark (reference workload: run_training.py:26-191):
+train_steps_per_sec, train_crops_per_sec and train_mfu — MFU computed from
+XLA's HLO flop count for the full train step against the chip's peak bf16
+throughput (v5e: 197 TFLOP/s; override with MEDSEG_PEAK_TFLOPS).
 """
 
 from __future__ import annotations
@@ -37,11 +41,84 @@ CPU_SECONDS_PER_WINDOW = None  # loaded from BASELINE.json at runtime
 
 
 def _load_cpu_baseline() -> float:
+    """Seconds per 96³ window on this host's CPU — the REFERENCE torch model
+    when measured (tools/measure_reference_cpu.py), else our own XLA:CPU
+    build (the round-1 self-referential extrapolation)."""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BASELINE.json")
     with open(path) as f:
         data = json.load(f)
+    ref = data.get("reference_cpu_measured")
+    if ref and ref.get("seconds_per_window_fp32"):
+        return float(ref["seconds_per_window_fp32"])
     return float(data["cpu_measured"]["seconds_per_window_fp32"])
+
+
+def _measure_roundtrip() -> float:
+    """Measured tunnel round-trip via a trivial jitted readback
+    (block_until_ready does not block through the axon tunnel)."""
+    trivial = jax.jit(lambda x: x.sum())
+    _ = float(trivial(jnp.ones(8)))
+    t0 = time.time()
+    for _ in range(5):
+        _ = float(trivial(jnp.ones(8)))
+    return (time.time() - t0) / 5
+
+
+def _train_bench(cfg) -> dict:
+    """Train-step throughput + MFU on the reference training workload:
+    one 96³ crop per chip, DiceCE, AdamW (run_training.py:92-105)."""
+    from medicalsemseg_tpu.train.state import create_train_state, make_train_step
+
+    model = build_model(cfg)
+    rng = np.random.default_rng(1)
+    v = cfg.vol_size3()
+    batch = {
+        "image": jnp.asarray(rng.normal(size=(1, *v, 1)).astype(np.float32)),
+        "label": jnp.asarray(rng.integers(0, cfg.output_dim,
+                                          (1, *v)).astype(np.int32)),
+        "crop_loc": jnp.full((1, 3), 0.5, jnp.float32),
+        "affine": jnp.ones((1, 3), jnp.float32),
+    }
+    x_probe = (batch["image"], batch["crop_loc"], batch["affine"])
+    state, _ = create_train_state(cfg, model, jax.random.PRNGKey(0), x_probe,
+                                  steps_per_epoch=100)
+    step = jax.jit(make_train_step(cfg), donate_argnums=(0,))
+
+    flops = None
+    try:
+        compiled = step.lower(state, batch,
+                              jax.random.PRNGKey(1)).compile()
+        cost = compiled.cost_analysis()
+        if cost and cost.get("flops", 0) > 0:
+            flops = float(cost["flops"])
+    except Exception:
+        pass
+
+    # warm/compile
+    state, m = step(state, batch, jax.random.PRNGKey(2))
+    _ = float(m["loss"])
+    rt = _measure_roundtrip()
+
+    n_iters = 10
+    t0 = time.time()
+    for i in range(n_iters):
+        state, m = step(state, batch, jax.random.fold_in(
+            jax.random.PRNGKey(3), i))
+        _ = float(m["loss"])  # forces completion of the enqueued step
+    dt = (time.time() - t0) / n_iters - rt
+    assert dt > 0, "timing anomaly: round-trip exceeded step time"
+
+    peak_tflops = float(os.environ.get("MEDSEG_PEAK_TFLOPS", "197"))
+    out = {
+        "train_steps_per_sec": round(1.0 / dt, 3),
+        "train_crops_per_sec": round(1.0 / dt, 3),  # per-chip batch 1
+        "train_step_ms": round(dt * 1e3, 1),
+    }
+    if flops is not None:
+        out["train_flops_per_step"] = flops
+        out["train_mfu"] = round(flops / dt / (peak_tflops * 1e12), 4)
+    return out
 
 
 def main():
@@ -77,13 +154,7 @@ def main():
     vol = jax.device_put(vol)  # resident once; iterations vary only a scalar
     _ = float(run(variables, vol, affine, jnp.float32(0)))  # compile + warm
 
-    # measured tunnel round-trip is subtracted via a trivial jitted readback
-    trivial = jax.jit(lambda x: x.sum())
-    _ = float(trivial(jnp.ones(8)))
-    t0 = time.time()
-    for _ in range(5):
-        _ = float(trivial(jnp.ones(8)))
-    rt = (time.time() - t0) / 5
+    rt = _measure_roundtrip()
 
     n_iters = 5
     t0 = time.time()
@@ -100,11 +171,16 @@ def main():
         VOLUME_SHAPE, ROI, scan_interval(VOLUME_SHAPE, ROI, OVERLAP)))
     cpu_vols_per_sec = 1.0 / (n_windows * _load_cpu_baseline())
 
+    extra = {}
+    if os.environ.get("MEDSEG_BENCH_TRAIN", "1") == "1":
+        extra = _train_bench(cfg)
+
     print(json.dumps({
         "metric": "sliding_window_volumes_per_sec_per_chip",
         "value": round(vols_per_sec, 4),
         "unit": "volumes/sec",
         "vs_baseline": round(vols_per_sec / cpu_vols_per_sec, 2),
+        "extra": extra,
     }))
 
 

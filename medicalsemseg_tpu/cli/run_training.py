@@ -66,6 +66,19 @@ def main(cfg: Config) -> dict:
 
     log_writer = JsonlWriter(cfg.log_dir) if cfg.log_dir else None
 
+    # experiment tags + run parameters (Neptune stand-in; reference:
+    # run_training.py:48-52 + utils/misc.py:317-336)
+    from medicalsemseg_tpu.utils.tags import log_metrics, tag_builder
+
+    if cfg.log_dir and jax.process_index() == 0:
+        log_metrics(cfg.log_dir, {
+            "tags": tag_builder(cfg),
+            "parameters": {k: (list(v) if isinstance(v, tuple) else v)
+                           for k, v in vars(cfg).items()
+                           if isinstance(v, (int, float, str, bool, tuple,
+                                             type(None)))},
+        })
+
     # -- data: CV split + per-host partition + RAM cache --
     train_files, val_files = build_cv_file_lists(cfg)
     save_decathlon_datalist(os.path.join(cfg.data_path, cfg.task, cfg.json_list),
@@ -139,7 +152,8 @@ def main(cfg: Config) -> dict:
         )
 
         sd = load_reference_pth(cfg.pretrained)
-        enc_params = import_swin_encoder(sd, "encoder.", len(cfg.depths))
+        enc_params = import_swin_encoder(sd, "encoder.", len(cfg.depths),
+                                         window_sizes=cfg.window_sizes())
         merged = dict(state.params)
         merged["encoder"] = enc_params
         state = state.replace(params=merged)
@@ -153,9 +167,13 @@ def main(cfg: Config) -> dict:
     start_time = time.time()
 
     for epoch in range(start_epoch, cfg.epochs):
-        state, train_stats = train_one_epoch(
-            state, train_step, loader_train, epoch, cfg, rng,
-            log_writer=log_writer, put_batch=put_batch)
+        # device trace of the first trained epoch when --profile_dir is set
+        from medicalsemseg_tpu.utils.profiling import trace
+
+        with trace(cfg.profile_dir if epoch == start_epoch else None):
+            state, train_stats = train_one_epoch(
+                state, train_step, loader_train, epoch, cfg, rng,
+                log_writer=log_writer, put_batch=put_batch)
         log_stats = {**train_stats, "epoch": epoch}
 
         if not (epoch + 1) % cfg.val_interval:
@@ -179,6 +197,10 @@ def main(cfg: Config) -> dict:
             with open(os.path.join(cfg.output_dir, "log.txt"), "a",
                       encoding="utf-8") as f:
                 f.write(json.dumps(log_stats) + "\n")
+        if cfg.log_dir and host == 0:
+            # per-epoch metric record (reference log_to_neptune,
+            # run_training.py:165-166)
+            log_metrics(cfg.log_dir, log_stats)
 
     total = str(datetime.timedelta(seconds=int(time.time() - start_time)))
     print(f"Training complete! Total training time {total}. "

@@ -67,6 +67,9 @@ class Config:
     lcv_patch_voxel_mean: bool = False
     use_abs_pos_emb: bool = False
     global_token: bool = False
+    deep_supervision: bool = False  # per-scale aux heads + weighted losses
+    # (the reference's official nnFormer trains with ds heads,
+    # nnformer_official.py:952-978; only --model nnFormer supports it)
 
     # --- transform group (reference: utils/arguments.py:127-218) ---
     t_voxel_spacings: bool = False
@@ -152,6 +155,9 @@ class Config:
     compute_dtype: str = "bfloat16"  # bf16 replaces torch.cuda.amp fp16+GradScaler
     sw_batch_size: int = 16  # windows per sliding-window predictor call
     # (swept on v5e: 16 is ~2.2x faster than 4 for the flagship workload)
+    metric_readback_freq: int = 20  # steps between device->host metric reads
+    # (per-step readback costs a 30-90 ms tunnel round-trip on this pod)
+    profile_dir: Optional[str] = None  # jax.profiler trace of the first epoch
     mesh_shape: Optional[Tuple[int, ...]] = None  # defaults to (n_devices,) data-parallel
     drop_path_rate: float = 0.2
     device_data_pipeline: bool = False  # HBM-resident volume cache with
@@ -192,6 +198,14 @@ class Config:
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
 
+    def __post_init__(self):
+        # --mixed_precision = the reference's fp16 autocast (run_training.py:95)
+        # kept as a PARITY MODE: fp16 compute dtype, fp32 master params.
+        # bf16 (the TPU-native default) needs no loss scaling; fp16 mode is
+        # for numerics comparisons, not the production path (SURVEY §2.3).
+        if self.mixed_precision and self.compute_dtype == "bfloat16":
+            self.compute_dtype = "float16"
+
 
 def _add_bool_flag(group, name: str, default: bool, help: str = "", true_flag=None,
                    false_flag=None):
@@ -226,7 +240,8 @@ def build_parser() -> argparse.ArgumentParser:
                  "rel_crop_pos_emb", "qkv_bias", "mixed_precision",
                  "learned_cls_vectors", "lcv_final_layer", "lcv_sincos_emb",
                  "lcv_concat_vector", "lcv_only", "lcv_linear_comb",
-                 "lcv_patch_voxel_mean", "use_abs_pos_emb", "global_token"):
+                 "lcv_patch_voxel_mean", "use_abs_pos_emb", "global_token",
+                 "deep_supervision"):
         _add_bool_flag(g, flag, False)
     g.add_argument("--gradient_clipping", type=float, default=None)
     g.add_argument("--lcv_vector_dim", default=6, type=int)
@@ -305,8 +320,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     g = p.add_argument_group("tpu")
     g.add_argument("--compute_dtype", type=str, default="bfloat16",
-                   choices=["bfloat16", "float32"])
+                   choices=["bfloat16", "float32", "float16"])
     g.add_argument("--sw_batch_size", type=int, default=16)
+    g.add_argument("--metric_readback_freq", type=int, default=20)
+    g.add_argument("--profile_dir", type=str, default=None)
     g.add_argument("--drop_path_rate", type=float, default=0.2)
     _add_bool_flag(g, "use_pallas_attention", True,
                    false_flag="--no_pallas_attention")

@@ -5,6 +5,12 @@ Equivalent of the reference's vendored nn-UNet mirroring TTA
 _internal_maybe_mirror_and_pred_3D, SURVEY.md §2.2): average the model's
 softmax output over the 8 spatial flip combinations, un-flipping each
 prediction. All 8 forwards stay on device inside one jitted program.
+
+The wrapped predictor returns PROBABILITIES, so the sliding window blends
+probabilities — exactly nn-UNet's accumulation of softmaxed predictions
+(neural_network.py:349-375): a Gaussian-weighted arithmetic mean of probs
+across windows. (Returning log-probs instead would make the stitcher compute
+a geometric mean, which can flip the argmax near window seams.)
 """
 
 from __future__ import annotations
@@ -23,8 +29,7 @@ def mirror_tta(predictor: Callable, axes: Tuple[int, ...] = (1, 2, 3),
     `axes` are spatial axes of the (B, D, H, W, C) window batch. The wrapped
     predictor averages probabilities (softmax applied per flip when
     apply_softmax, matching the reference's softmax-before-average) and
-    returns log-probabilities so downstream argmax/blending semantics of a
-    logits-consumer stay valid.
+    returns those mean probabilities for downstream prob-domain blending.
     """
     combos = []
     for r in range(len(axes) + 1):
@@ -40,7 +45,6 @@ def mirror_tta(predictor: Callable, axes: Tuple[int, ...] = (1, 2, 3),
             p = jax.nn.softmax(out.astype(jnp.float32), -1) if apply_softmax \
                 else out.astype(jnp.float32)
             acc = p if acc is None else acc + p
-        mean = acc / len(combos)
-        return jnp.log(jnp.maximum(mean, 1e-12)) if apply_softmax else mean
+        return acc / len(combos)
 
     return wrapped

@@ -43,7 +43,8 @@ def _lcv_transform(cfg: Config):
 
 
 def _compute_dtype(cfg: Config):
-    return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    return {"bfloat16": jnp.bfloat16, "float16": jnp.float16,
+            "float32": jnp.float32}[cfg.compute_dtype]
 
 
 def _use_pallas(cfg: Config) -> bool:
@@ -154,14 +155,17 @@ def build_model(cfg: Config) -> nn.Module:
 
     if name == "nnFormer":
         # the official symmetric nnFormer (vendored-dead in the reference,
-        # nnformer_official.py:918-978, SURVEY.md §2.2) as a working entry
+        # nnformer_official.py:918-978, SURVEY.md §2.2) as a working entry;
+        # --deep_supervision enables the per-scale heads the reference
+        # official model trains with (nnformer_official.py:952-978)
         from medicalsemseg_tpu.models.nnformer import NNFormer
         return NNFormer(out_channels=cfg.output_dim, in_chans=cfg.in_chans,
                         embed_dim=cfg.hidden_dim, depths=tuple(cfg.depths),
                         num_heads=tuple(cfg.num_heads),
                         window_sizes=cfg.window_sizes(),
                         patch_size=cfg.patch_size3(), qkv_bias=cfg.qkv_bias,
-                        drop_path_rate=cfg.drop_path_rate, dtype=dtype)
+                        drop_path_rate=cfg.drop_path_rate,
+                        deep_supervision=cfg.deep_supervision, dtype=dtype)
 
     if name == "UNETR_Official":
         # the reference's DEFAULT model name, which its factory silently

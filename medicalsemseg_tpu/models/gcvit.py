@@ -76,17 +76,23 @@ class _ConvSE(nn.Module):
 
 
 class FeatExtract(nn.Module):
-    """conv-SE residual + optional 3³/s2 maxpool (reference: :97-116)."""
+    """conv-SE residual + optional 3³ maxpool (reference: :97-116).
+
+    pool_strides generalizes the reference's fixed stride-2 pooling to
+    per-axis strides (stride-1 axes keep their size: k=3, pad 1) so
+    anisotropic feature maps can be reduced toward a cubic ws³ query grid.
+    """
 
     dim: int
     keep_dim: bool = False
+    pool_strides: Tuple[int, int, int] = (2, 2, 2)
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = _ConvSE(self.dim, dtype=self.dtype)(x)
         if not self.keep_dim:
-            x = nn.max_pool(x, (3, 3, 3), strides=(2, 2, 2),
+            x = nn.max_pool(x, (3, 3, 3), strides=self.pool_strides,
                             padding=((1, 1), (1, 1), (1, 1)))
         return x
 
@@ -231,19 +237,26 @@ class GCViTLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True):
-        d = x.shape[1]
         ws = min(self.window_size, min(x.shape[1:4]))
-        # reduce the feature map down to ws³ for the global queries
-        # (generalizes the reference's hardcoded resolution cases, :503-531)
+        # reduce the feature map down to ws³ for the global queries,
+        # per axis (generalizes the reference's hardcoded cubic resolution
+        # cases, :503-531, to anisotropic bucket-padded grids)
         q = x
-        n_reduce = max(int(np.log2(max(d // ws, 1))), 0)
-        if n_reduce == 0:
+        n_per_axis = [max(int(np.floor(np.log2(max(s // ws, 1)))), 0)
+                      for s in x.shape[1:4]]
+        n_steps = max(n_per_axis)
+        if n_steps == 0:
             q = FeatExtract(self.dim, keep_dim=True, dtype=self.dtype,
                             name="to_q_global_0")(q)
         else:
-            for i in range(n_reduce):
-                q = FeatExtract(self.dim, keep_dim=False, dtype=self.dtype,
-                                name=f"to_q_global_{i}")(q)
+            for i in range(n_steps):
+                pool = tuple(2 if i < n_per_axis[a] else 1 for a in range(3))
+                q = FeatExtract(self.dim, keep_dim=False, pool_strides=pool,
+                                dtype=self.dtype, name=f"to_q_global_{i}")(q)
+        if q.shape[1:4] != (ws, ws, ws):
+            # non-power-of-two axis ratios: exact trilinear resize to ws³
+            q = jax.image.resize(
+                q, (q.shape[0], ws, ws, ws, q.shape[-1]), "linear")
 
         for i in range(self.depth):
             x = GCViTBlock(

@@ -252,6 +252,9 @@ class NNFormer(nn.Module):
                                      self.patch_size, dtype=self.dtype,
                                      name=f"final_{j}")(feat)
             heads.append(logits.astype(jnp.float32))
-        if self.deep_supervision:
+        if self.deep_supervision and not deterministic:
+            # ds heads feed the training loss only; inference (deterministic)
+            # returns the full-res head — nn-UNet flips network.do_ds=False
+            # before predict_3D (reference neural_network.py usage)
             return heads
         return heads[0]

@@ -65,6 +65,66 @@ def instance_norm(sd: Dict, prefix: str) -> Dict:
     return {}
 
 
+def _interp_grid(arr: np.ndarray, dst_shape) -> np.ndarray:
+    """Trilinear resize of a (S1, S2, S3, C) grid to (*dst_shape, C) with
+    align_corners=False sampling (torch F.interpolate semantics)."""
+    from scipy.ndimage import map_coordinates
+
+    src = arr.shape[:3]
+    axes = [np.clip((np.arange(d) + 0.5) * s / d - 0.5, 0, s - 1)
+            for d, s in zip(dst_shape, src)]
+    grid = np.meshgrid(*axes, indexing="ij")
+    coords = np.stack([g.ravel() for g in grid])
+    out = np.empty(tuple(dst_shape) + arr.shape[3:], np.float32)
+    for c in range(arr.shape[3]):
+        out[..., c] = map_coordinates(
+            arr[..., c].astype(np.float64), coords, order=1,
+            mode="nearest").reshape(dst_shape)
+    return out
+
+
+def resize_rel_pos_bias_table(table: np.ndarray, src_window, dst_window) -> np.ndarray:
+    """Resize a 3D-window relative-position bias table across window sizes.
+
+    (prod(2*ws-1), nH) -> (prod(2*wd-1), nH). TPU-native equivalent of the
+    reference's (dead) pretrained-loader surgery (utils/checkpoint.py:51-66),
+    which bicubic-interpolates 2D tables; our tables index 3D displacement
+    grids, so we resize the (2w-1)^3 grid trilinearly (align_corners=False)
+    per head.
+    """
+    src = tuple(2 * int(w) - 1 for w in (src_window if hasattr(src_window, "__len__")
+                                         else (src_window,) * 3))
+    dst = tuple(2 * int(w) - 1 for w in (dst_window if hasattr(dst_window, "__len__")
+                                         else (dst_window,) * 3))
+    nh = table.shape[-1]
+    assert table.shape[0] == int(np.prod(src)), \
+        f"table rows {table.shape[0]} != prod{src}"
+    if src == dst:
+        return table.astype(np.float32)
+    grid = table.reshape(*src, nh).astype(np.float32)
+    return _interp_grid(grid, dst).reshape(-1, nh)
+
+
+def resize_abs_pos_embed(pos: np.ndarray, src_grid, dst_grid,
+                         num_extra_tokens: int = 0) -> np.ndarray:
+    """Resize a (1, N + extra, C) 3D absolute position embedding to a new
+    token grid (reference surgery: utils/checkpoint.py:69-92, 2D bicubic on
+    ViT pos_embed; here the 3D trilinear equivalent). Extra (cls) tokens are
+    kept unchanged and stay in front."""
+    src_grid, dst_grid = tuple(src_grid), tuple(dst_grid)
+    squeeze = pos.ndim == 2
+    if squeeze:
+        pos = pos[None]
+    extra = pos[:, :num_extra_tokens]
+    tokens = pos[:, num_extra_tokens:]
+    c = tokens.shape[-1]
+    assert tokens.shape[1] == int(np.prod(src_grid))
+    grid = tokens.reshape(*src_grid, c).astype(np.float32)
+    resized = _interp_grid(grid, dst_grid).reshape(1, -1, c)
+    out = np.concatenate([extra.astype(np.float32), resized], axis=1)
+    return out[0] if squeeze else out
+
+
 def _strip_module_prefix(sd: Dict) -> Dict:
     """Remove DDP 'module.' prefixes (reference wraps in DDP,
     run_training.py:84)."""
@@ -75,8 +135,16 @@ def _strip_module_prefix(sd: Dict) -> Dict:
 
 
 def import_swin_encoder(sd: Dict, prefix: str = "encoder.",
-                        num_layers: int = 4) -> Dict:
-    """SwinTransformerNNFormer state_dict -> SwinEncoder3D params."""
+                        num_layers: int = 4, window_sizes=None) -> Dict:
+    """SwinTransformerNNFormer state_dict -> SwinEncoder3D params.
+
+    window_sizes (optional, per stage): when given, relative-position bias
+    tables whose row count does not match the target (2w-1)^3 grid are
+    trilinearly resized (resize_rel_pos_bias_table) — the functional
+    equivalent of the reference's dead pretrained-loader surgery
+    (utils/checkpoint.py:51-66), so differently-windowed reference
+    checkpoints import instead of shape-erroring.
+    """
     sd = _strip_module_prefix(sd)
     g = lambda name: prefix + name  # noqa: E731
     params: Dict = {}
@@ -109,12 +177,19 @@ def import_swin_encoder(sd: Dict, prefix: str = "encoder.",
         j = 0
         while g(f"layers.{i}.blocks.{j}.norm1.weight") in sd:
             base = g(f"layers.{i}.blocks.{j}")
+            table = _np(sd[f"{base}.attn.relative_position_bias_table"])
+            if window_sizes is not None:
+                dst_w = window_sizes[min(i, len(window_sizes) - 1)]
+                dst = (dst_w,) * 3 if np.isscalar(dst_w) else tuple(dst_w)
+                if table.shape[0] != int(np.prod([2 * w - 1 for w in dst])):
+                    # cubic source window inferred from the row count
+                    src_w = int(round((table.shape[0] ** (1 / 3) + 1) / 2))
+                    table = resize_rel_pos_bias_table(table, (src_w,) * 3, dst)
             attn = {
                 "qkv_kernel": _np(sd[f"{base}.attn.qkv.weight"]).T,
                 "proj_kernel": _np(sd[f"{base}.attn.proj.weight"]).T,
                 "proj_bias": _np(sd[f"{base}.attn.proj.bias"]),
-                "relative_position_bias_table":
-                    _np(sd[f"{base}.attn.relative_position_bias_table"]),
+                "relative_position_bias_table": table,
             }
             if f"{base}.attn.qkv.bias" in sd:
                 attn["qkv_bias"] = _np(sd[f"{base}.attn.qkv.bias"])

@@ -51,3 +51,31 @@ def test_nnformer_ds_train_step_decreases_loss():
         state, m = step(state, batch, jax.random.PRNGKey(i))
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0]
+
+
+def test_factory_threads_deep_supervision_flag():
+    """--deep_supervision reaches NNFormer through build_model and the model
+    returns a logits list in training mode (reference official nnFormer
+    trains with ds heads, nnformer_official.py:952-978)."""
+    from medicalsemseg_tpu.models import build_model
+
+    cfg = Config(model="nnFormer", vol_size=16, patch_size=2, hidden_dim=12,
+                 depths=(1, 1, 1), num_heads=(2, 2, 2), window_size=2,
+                 output_dim=3, compute_dtype="float32", deep_supervision=True,
+                 drop_path_rate=0.0)
+    model = build_model(cfg)
+    assert model.deep_supervision is True
+    rng = np.random.default_rng(1)
+    x_in = (jnp.asarray(rng.normal(size=(1, 16, 16, 16, 1)).astype(np.float32)),
+            jnp.full((1, 3), 0.5), jnp.ones((1, 3)))
+    variables = jax.jit(lambda r, x: model.init(r, x, deterministic=True))(
+        jax.random.PRNGKey(0), x_in)
+    out = jax.jit(lambda v, x: model.apply(v, x, deterministic=False,
+                                           rngs={"dropout": jax.random.PRNGKey(1)})
+                  )(variables, x_in)
+    assert isinstance(out, (list, tuple)) and len(out) >= 2
+    assert out[0].shape == (1, 16, 16, 16, 3)
+    # CLI flag parses
+    from medicalsemseg_tpu.config import get_args
+    assert get_args(["--deep_supervision"]).deep_supervision is True
+    assert get_args([]).deep_supervision is False

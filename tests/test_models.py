@@ -196,3 +196,65 @@ def test_lcv_only_forward():
     out = init_and_apply(model, make_inputs(cfg))
     assert out.shape == (1, 32, 32, 32, 3)
     assert bool(jnp.isfinite(out).all())
+
+
+def test_gcvit_anisotropic_input():
+    """GCViT on a non-cubic grid (possible after bucket-padding odd shapes):
+    the global-query pyramid must still produce ws^3 queries per window."""
+    import jax
+    import jax.numpy as jnp
+
+    from medicalsemseg_tpu.config import Config
+    from medicalsemseg_tpu.models import build_model
+
+    cfg = Config(model="GCViTUNETR", vol_size=16, patch_size=2, hidden_dim=12,
+                 depths=(2, 2), num_heads=(2, 2), window_size=2, output_dim=3,
+                 compute_dtype="float32", drop_path_rate=0.0)
+    model = build_model(cfg)
+    # anisotropic: 32 x 16 x 24 (ratios 2x and 1.5x -> pooled and resized)
+    x_in = (jnp.zeros((1, 32, 16, 24, 1)), jnp.zeros((1, 3)),
+            jnp.ones((1, 3)))
+    variables = jax.jit(lambda r, x: model.init(r, x, deterministic=True))(
+        jax.random.PRNGKey(0), x_in)
+    out = jax.jit(lambda v, x: model.apply(v, x, deterministic=True))(
+        variables, x_in)
+    assert out.shape == (1, 32, 16, 24, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_mixed_precision_fp16_parity_mode():
+    """--mixed_precision = the reference's fp16 autocast as a parity mode:
+    fp16 compute dtype, fp32 master params, finite train step (SURVEY §2.3;
+    reference run_training.py:95 GradScaler mechanics deliberately not
+    reproduced — bf16 is the production path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from medicalsemseg_tpu.config import Config, get_args
+    from medicalsemseg_tpu.models import build_model
+    from medicalsemseg_tpu.train.state import create_train_state, make_train_step
+
+    assert get_args(["--mixed_precision"]).compute_dtype == "float16"
+    assert get_args([]).compute_dtype == "bfloat16"
+    assert get_args(["--mixed_precision",
+                     "--compute_dtype", "float32"]).compute_dtype == "float32"
+
+    cfg = Config(model="nnFormerUNETR", vol_size=16, patch_size=2,
+                 hidden_dim=12, depths=(1, 1), num_heads=(2, 2),
+                 window_size=2, output_dim=3, mixed_precision=True,
+                 warmup_epochs=0, lr=1e-3, drop_path_rate=0.0)
+    assert cfg.compute_dtype == "float16"
+    model = build_model(cfg)
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(1, 16, 16, 16, 1)).astype(np.float32)
+    batch = {"image": jnp.asarray(img),
+             "label": jnp.asarray((img[..., 0] > 0).astype(np.int32)),
+             "crop_loc": jnp.full((1, 3), 0.5), "affine": jnp.ones((1, 3))}
+    x_in = (batch["image"], batch["crop_loc"], batch["affine"])
+    state, _ = create_train_state(cfg, model, jax.random.PRNGKey(0), x_in, 10)
+    # master params stay fp32
+    assert all(p.dtype == jnp.float32
+               for p in jax.tree_util.tree_leaves(state.params))
+    step = jax.jit(make_train_step(cfg))
+    state, m = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))

@@ -393,3 +393,94 @@ def test_lr_scheduler_parity():
     ours = [float(warmup_cosine_lr(e, base_lr, warm, total))
             for e in range(total)]
     np.testing.assert_allclose(ours, ref_lrs, rtol=1e-6, atol=1e-9)
+
+
+def test_lcv_parity_sincos_emb():
+    """sincos_emb variant vs the reference oracle.
+
+    The reference's get_hu_sincos_embed hardcodes .cuda()
+    (class_embeddings.py:246) — a latent CUDA-only bug; for the CPU oracle run
+    we patch Tensor.cuda to identity (documented divergence: we run anywhere).
+    """
+    from models.blocks.class_embeddings import LearnedClassVectors as RefLCV
+
+    from medicalsemseg_tpu.models.embeddings import (
+        LearnedClassVectors,
+        scale_intensity_range,
+    )
+    import functools
+
+    transform = functools.partial(scale_intensity_range, a_min=-1000,
+                                  a_max=1000, b_min=0.0, b_max=1.0, clip=True)
+    rng = np.random.default_rng(6)
+    vol = rng.uniform(0.0, 1.0, size=(1, 4, 4, 4, 1)).astype(np.float32)
+    vol_t = torch.from_numpy(vol.transpose(0, 4, 1, 2, 3))
+
+    orig_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    try:
+        ref = RefLCV(patch_size=1, out_dim=8, vector_dim=8,
+                     intensity_transform=transform, sincos_emb=True).eval()
+        with torch.no_grad():
+            want = ref(vol_t).numpy().transpose(0, 2, 3, 4, 1)
+    finally:
+        torch.Tensor.cuda = orig_cuda
+
+    ours = LearnedClassVectors(patch_size=(1, 1, 1), out_dim=8, vector_dim=8,
+                               intensity_transform=transform, sincos_emb=True)
+    got = ours.apply({"params": {}}, jnp.asarray(vol))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_lcv_parity_final_layer():
+    """final_layer variant (flatten and patch_voxel_mean paths) with the
+    reference's fc weights transplanted."""
+    from models.blocks.class_embeddings import LearnedClassVectors as RefLCV
+
+    from medicalsemseg_tpu.models.embeddings import (
+        LearnedClassVectors,
+        scale_intensity_range,
+    )
+    import functools
+
+    transform = functools.partial(scale_intensity_range, a_min=-1000,
+                                  a_max=1000, b_min=0.0, b_max=1.0, clip=True)
+    rng = np.random.default_rng(7)
+    vol = rng.uniform(0.0, 1.0, size=(1, 4, 4, 4, 1)).astype(np.float32)
+    vol_t = torch.from_numpy(vol.transpose(0, 4, 1, 2, 3))
+
+    # flatten path at patch 1: fc Linear(voxels_per_patch*vd -> out_dim)
+    torch.manual_seed(7)
+    ref = RefLCV(patch_size=1, out_dim=6, vector_dim=5,
+                 intensity_transform=transform, final_layer=True).eval()
+    ours = LearnedClassVectors(patch_size=(1, 1, 1), out_dim=6, vector_dim=5,
+                               intensity_transform=transform,
+                               final_layer=True)
+    params = {
+        "vectors": jnp.stack([t2j(v) for v in ref.vectors]),
+        "fc": {"kernel": t2j(ref.fc.weight).T, "bias": t2j(ref.fc.bias)},
+    }
+    with torch.no_grad():
+        want = ref(vol_t).numpy().transpose(0, 2, 3, 4, 1)
+    got = ours.apply({"params": params}, jnp.asarray(vol))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+    # patch_voxel_mean + final_layer: fc Linear(n_intervals -> out_dim).
+    # patch_size=1 keeps groupings comparable — at patch>1 the reference's
+    # view scrambles voxels across patches (documented divergence,
+    # class_embeddings.py:141; see test_lcv_parity_default_and_linear_comb).
+    torch.manual_seed(8)
+    ref = RefLCV(patch_size=1, out_dim=6, vector_dim=13,
+                 intensity_transform=transform, final_layer=True,
+                 patch_voxel_mean=True).eval()
+    ours = LearnedClassVectors(patch_size=(1, 1, 1), out_dim=6, vector_dim=13,
+                               intensity_transform=transform,
+                               final_layer=True, patch_voxel_mean=True)
+    params = {
+        "vectors": jnp.stack([t2j(v) for v in ref.vectors]),
+        "fc": {"kernel": t2j(ref.fc.weight).T, "bias": t2j(ref.fc.bias)},
+    }
+    with torch.no_grad():
+        want = ref(vol_t).numpy().transpose(0, 2, 3, 4, 1)
+    got = ours.apply({"params": params}, jnp.asarray(vol))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)

@@ -168,7 +168,7 @@ def test_mirror_tta_symmetric_predictor_invariant():
         x = model_in[0]
         return jnp.concatenate([x, -x], axis=-1)
 
-    base = jax.nn.log_softmax(equivariant((win, None, None)), -1)
+    base = jax.nn.softmax(equivariant((win, None, None)), -1)
     tta = mirror_tta(equivariant)((win, None, None))
     np.testing.assert_allclose(np.asarray(tta), np.asarray(base),
                                rtol=1e-5, atol=1e-5)
@@ -182,3 +182,46 @@ def test_mirror_tta_symmetric_predictor_invariant():
     # flipping the input must flip the TTA output exactly (symmetrization)
     out_f = np.asarray(mirror_tta(asymmetric)((jnp.flip(win, 1), None, None)))
     np.testing.assert_allclose(out_f, np.flip(out, 1), rtol=1e-5, atol=1e-5)
+
+
+def test_tta_stitched_output_matches_prob_domain_oracle():
+    """Mirror-TTA + sliding window must equal a prob-domain NumPy oracle:
+    per window, mean of softmax over the 8 flips; across windows, a
+    Gaussian-weighted ARITHMETIC mean of probabilities (nn-UNet semantics,
+    reference neural_network.py:511 + :349-375). A log-domain blend (the old
+    behavior) is a geometric mean and fails this test near window seams."""
+    from medicalsemseg_tpu.infer.tta import mirror_tta
+
+    rng = np.random.default_rng(5)
+    shape, roi = (20, 18, 24), (16, 16, 16)
+    vol = rng.normal(size=shape + (1,)).astype(np.float32)
+    w = rng.normal(size=(1, 3)).astype(np.float32) * 3.0
+
+    def predictor_jax(model_in):
+        return model_in[0] @ jnp.asarray(w)  # asymmetric under flips
+
+    def _softmax_np(x):
+        e = np.exp(x - x.max(-1, keepdims=True))
+        return e / e.sum(-1, keepdims=True)
+
+    def predictor_np_tta(win):
+        acc = np.zeros(win.shape[:-1] + (3,), np.float32)
+        import itertools as it
+        combos = []
+        for r in range(4):
+            combos.extend(it.combinations((0, 1, 2), r))
+        for combo in combos:
+            wf = np.flip(win, combo) if combo else win
+            logits = wf @ w
+            logits = np.flip(logits, combo) if combo else logits
+            acc += _softmax_np(logits)
+        return acc / len(combos)
+
+    got = sliding_window_inference(
+        jnp.asarray(vol)[None], jnp.ones((1, 3)), roi, 3,
+        mirror_tta(predictor_jax, axes=(1, 2, 3)), overlap=0.5,
+        mode="gaussian", n_classes=3)
+    want = _np_sliding_window(vol, roi, 0.5, predictor_np_tta, 3, "gaussian")
+    np.testing.assert_allclose(np.asarray(got[0]), want, rtol=1e-4, atol=1e-5)
+    # blended output is a probability field
+    np.testing.assert_allclose(np.asarray(got[0]).sum(-1), 1.0, atol=1e-4)
