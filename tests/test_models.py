@@ -180,10 +180,15 @@ def test_nnformer_official_forward_and_deep_supervision():
     x_in = make_inputs(tiny_cfg(vol_size=16))
     variables = jax.jit(lambda r, x: ds_model.init(r, x, deterministic=True))(
         jax.random.PRNGKey(0), x_in)
-    heads = ds_model.apply(variables, x_in, deterministic=True)
+    # ds heads are a training-mode output (reference nnformer_official do_ds
+    # toggle, nnformer_official.py:952-978); inference returns the full-res head
+    heads = ds_model.apply(variables, x_in, deterministic=False,
+                           rngs={"dropout": jax.random.PRNGKey(1)})
     assert len(heads) == 2
     assert heads[0].shape == (1, 16, 16, 16, 3)   # full res first
     assert heads[1].shape == (1, 8, 8, 8, 3)      # 1/2 res
+    out = ds_model.apply(variables, x_in, deterministic=True)
+    assert out.shape == (1, 16, 16, 16, 3)
 
 
 def test_lcv_only_forward():
