@@ -163,8 +163,12 @@ class Config:
     device_data_pipeline: bool = False  # HBM-resident volume cache with
     # on-device crop extraction + augmentation (data/device_pipeline.py);
     # use when the preprocessed dataset fits HBM next to the train state
-    remat: bool = False  # rematerialize encoder blocks (jax.checkpoint):
-    # trades recompute FLOPs for HBM, enabling larger train batches per chip
+    remat: str = "conv"  # rematerialize model blocks (jax.checkpoint):
+    # "conv" saves conv outputs and replays only elementwise chains —
+    # measured FREE at batch 1 (268.5 vs 268.6 ms/step) and it unblocks the
+    # whole-graph backward at batch >= 2 on this pod's AOT compiler
+    # (bs2: 4.10 crops/s vs 3.68 at bs1); "full" is the classic trade of
+    # recompute FLOPs for HBM; "none" disables
     tta_mirror: bool = False  # nn-UNet-style 8-way flip TTA at inference
     sw_bucket_multiple: int = 32  # pad eval volumes to spatial multiples to
     # bound sliding-window recompilations (static shapes, SURVEY.md §7.4)
@@ -173,6 +177,12 @@ class Config:
     pallas_train: bool = False  # opt-in: fused attention in TRAINING via the
     # custom VJP (gradient-verified); this pod's AOT compiler rejects the
     # flagship whole-graph backward with the kernel inside, so default off
+    fused_loss: bool = False  # opt-in fused Pallas DiceCE
+    # (ops/pallas/dice_ce.py): 3.3x faster than the XLA loss standalone
+    # (6.0 vs 20.0 ms fwd+bwd at 96^3x14) but NEUTRAL-to-negative inside the
+    # train step — XLA fuses the loss+metric cluster into the out-conv, and
+    # the kernel boundary un-fuses the argmax/Dice metric tail (+50 ms) —
+    # so the default stays the XLA formulation
     use_pallas_attention: bool = True  # fused window-attention kernel on TPU
     # inference paths only (training keeps the XLA path until a custom VJP
     # lands). +17% on the isolated attention layer and +9% on the end-to-end
@@ -329,9 +339,13 @@ def build_parser() -> argparse.ArgumentParser:
                    false_flag="--no_pallas_attention")
     g.add_argument("--grad_accum_steps", type=int, default=1)
     _add_bool_flag(g, "tta_mirror", False)
-    _add_bool_flag(g, "remat", False)
+    g.add_argument("--remat", nargs="?", const="conv", default="conv",
+                   choices=["none", "conv", "full"],
+                   help="rematerialize model blocks; 'conv' (default) saves "
+                        "conv outputs and replays only elementwise chains")
     _add_bool_flag(g, "device_data_pipeline", False)
     _add_bool_flag(g, "pallas_train", False)
+    _add_bool_flag(g, "fused_loss", False)
 
     return p
 

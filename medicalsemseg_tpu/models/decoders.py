@@ -23,6 +23,7 @@ from medicalsemseg_tpu.models.layers import (
     Conv3d,
     ConvTranspose3d,
     InstanceNorm,
+    remat_module,
 )
 from medicalsemseg_tpu.ops.resize import resize_trilinear
 
@@ -110,7 +111,7 @@ class SwinUNETRDecoder(nn.Module):
     hidden_size: int = 48
     patch_size: Tuple[int, int, int] = (2, 2, 2)
     num_layers: int = 4
-    remat: bool = False
+    remat: Any = "none"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -121,9 +122,10 @@ class SwinUNETRDecoder(nn.Module):
 
         # remat partitions the decoder backward into per-block computations:
         # the whole-graph backward at batch >= 2 crashes this pod's AOT
-        # compiler even though every block compiles individually
-        res_cls = nn.remat(UnetResBlock) if self.remat else UnetResBlock
-        up_cls = nn.remat(UnetrUpBlock) if self.remat else UnetrUpBlock
+        # compiler even though every block compiles individually. Mode "conv"
+        # saves the conv outputs so the replay is elementwise-only.
+        res_cls = remat_module(UnetResBlock, self.remat)
+        up_cls = remat_module(UnetrUpBlock, self.remat)
 
         # per-scale residual refiners ("unet_encoders" in the reference)
         enc0 = res_cls(h, dtype=self.dtype, name="encoder0")(
@@ -154,7 +156,7 @@ class SwinUNETRCustom(nn.Module):
     out_channels: int
     hidden_size: int = 48
     patch_size: Tuple[int, int, int] = (2, 2, 2)
-    remat: bool = False
+    remat: Any = "none"
     dtype: Dtype = jnp.float32
 
     @nn.compact

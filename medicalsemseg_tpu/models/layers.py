@@ -17,11 +17,34 @@ from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 from flax import linen as nn
 
 Dtype = Any
 
 trunc_normal_init = nn.initializers.truncated_normal(stddev=0.02)
+
+
+def remat_module(cls, mode, static_argnums: Tuple[int, ...] = ()):
+    """Wrap a module class in nn.remat according to a remat mode.
+
+    Modes (Config.remat):
+      * "none"/False — no rematerialization;
+      * "conv" — checkpoint blocks but SAVE conv outputs (tagged with
+        jax.ad_checkpoint.checkpoint_name below): the backward replay then
+        recomputes only the cheap elementwise norm/activation chains, keeping
+        compiler live-range pressure low without re-running any convolution;
+      * "full" — classic full-block rematerialization (max memory savings,
+        pays the full forward again in the backward).
+    """
+    if mode in (False, None, "none"):
+        return cls
+    policy = None
+    if mode == "conv":
+        policy = jax.checkpoint_policies.save_only_these_names("conv_out")
+    elif mode != "full":
+        raise ValueError(f"unknown remat mode {mode!r}")
+    return nn.remat(cls, policy=policy, static_argnums=static_argnums)
 
 
 def drop_path(x: jnp.ndarray, rate: float, deterministic: bool,
@@ -92,10 +115,13 @@ class Conv3d(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        return nn.Conv(self.features, self.kernel_size, strides=self.strides,
-                       padding=self.padding, use_bias=self.use_bias,
-                       feature_group_count=self.feature_group_count,
-                       dtype=self.dtype)(x)
+        y = nn.Conv(self.features, self.kernel_size, strides=self.strides,
+                    padding=self.padding, use_bias=self.use_bias,
+                    feature_group_count=self.feature_group_count,
+                    dtype=self.dtype)(x)
+        # identity outside remat; under remat_module("conv") marks this value
+        # as saved so the backward replay never re-runs the convolution
+        return checkpoint_name(y, "conv_out")
 
 
 class ConvTranspose3d(nn.Module):
@@ -109,9 +135,10 @@ class ConvTranspose3d(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        return nn.ConvTranspose(self.features, self.kernel_size,
-                                strides=self.strides, padding="VALID",
-                                use_bias=self.use_bias, dtype=self.dtype)(x)
+        y = nn.ConvTranspose(self.features, self.kernel_size,
+                             strides=self.strides, padding="VALID",
+                             use_bias=self.use_bias, dtype=self.dtype)(x)
+        return checkpoint_name(y, "conv_out")
 
 
 class InstanceNorm(nn.Module):

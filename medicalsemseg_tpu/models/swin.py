@@ -38,6 +38,7 @@ from medicalsemseg_tpu.models.layers import (
     InceptionMlp,
     LayerNorm,
     Mlp,
+    remat_module,
     trunc_normal_init,
 )
 from medicalsemseg_tpu.ops.window import (
@@ -317,7 +318,7 @@ class BasicLayer(nn.Module):
     mlp_type: str = "dense"
     use_pallas: bool = False
     pallas_train: bool = False
-    remat: bool = False
+    remat: Any = "none"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -325,8 +326,7 @@ class BasicLayer(nn.Module):
                  deterministic: bool = True):
         # rematerialize block activations to trade FLOPs for HBM during
         # training (jax.checkpoint; enables bigger crop batches per chip)
-        block_cls = (nn.remat(SwinBlock, static_argnums=(4,))
-                     if self.remat else SwinBlock)
+        block_cls = remat_module(SwinBlock, self.remat, static_argnums=(4,))
         for i in range(self.depth):
             x, gt = block_cls(
                 dim=self.dim, input_resolution=self.input_resolution,
@@ -386,7 +386,7 @@ class SwinEncoder3D(nn.Module):
     global_token: bool = False
     use_pallas: bool = False
     pallas_train: bool = False
-    remat: bool = False
+    remat: Any = "none"
     dtype: Dtype = jnp.float32
 
     @property

@@ -103,6 +103,13 @@ def dice_focal_loss(logits, labels, gamma: float = 2.0,
 def build_loss(cfg: Config):
     """--loss_fn name -> loss(logits, labels) (reference: run_training.py:103-113)."""
     if cfg.loss_fn == "DiceCE":
+        if getattr(cfg, "fused_loss", False) and jax.default_backend() != "cpu":
+            # opt-in fused Pallas kernels (ops/pallas/dice_ce.py): 3.3x the
+            # XLA loss standalone, but neutral inside the train step — see
+            # the Config.fused_loss comment for the measured A/B
+            from medicalsemseg_tpu.ops.pallas.dice_ce import dice_ce_fused
+            return lambda lg, lb: dice_ce_fused(lg, lb, True,
+                                                cfg.smooth_nr, cfg.smooth_dr)
         return lambda lg, lb: dice_ce_loss(lg, lb, smooth_nr=cfg.smooth_nr,
                                            smooth_dr=cfg.smooth_dr)
     if cfg.loss_fn == "Tversky":
