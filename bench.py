@@ -65,20 +65,22 @@ def _measure_roundtrip() -> float:
     return (time.time() - t0) / 5
 
 
-def _train_bench(cfg) -> dict:
+def _train_bench(cfg, bs: int = 1) -> dict:
     """Train-step throughput + MFU on the reference training workload:
-    one 96³ crop per chip, DiceCE, AdamW (run_training.py:92-105)."""
+    `bs` 96³ crops per chip, DiceCE, AdamW (run_training.py:92-105).
+    bs >= 2 runs under the conv-saving remat policy (the config default),
+    which unblocks the whole-graph backward on this pod's AOT compiler."""
     from medicalsemseg_tpu.train.state import create_train_state, make_train_step
 
     model = build_model(cfg)
     rng = np.random.default_rng(1)
     v = cfg.vol_size3()
     batch = {
-        "image": jnp.asarray(rng.normal(size=(1, *v, 1)).astype(np.float32)),
+        "image": jnp.asarray(rng.normal(size=(bs, *v, 1)).astype(np.float32)),
         "label": jnp.asarray(rng.integers(0, cfg.output_dim,
-                                          (1, *v)).astype(np.int32)),
-        "crop_loc": jnp.full((1, 3), 0.5, jnp.float32),
-        "affine": jnp.ones((1, 3), jnp.float32),
+                                          (bs, *v)).astype(np.int32)),
+        "crop_loc": jnp.full((bs, 3), 0.5, jnp.float32),
+        "affine": jnp.ones((bs, 3), jnp.float32),
     }
     x_probe = (batch["image"], batch["crop_loc"], batch["affine"])
     state, _ = create_train_state(cfg, model, jax.random.PRNGKey(0), x_probe,
@@ -110,14 +112,15 @@ def _train_bench(cfg) -> dict:
     assert dt > 0, "timing anomaly: round-trip exceeded step time"
 
     peak_tflops = float(os.environ.get("MEDSEG_PEAK_TFLOPS", "197"))
+    suffix = "" if bs == 1 else f"_bs{bs}"
     out = {
-        "train_steps_per_sec": round(1.0 / dt, 3),
-        "train_crops_per_sec": round(1.0 / dt, 3),  # per-chip batch 1
-        "train_step_ms": round(dt * 1e3, 1),
+        f"train_steps_per_sec{suffix}": round(1.0 / dt, 3),
+        f"train_crops_per_sec{suffix}": round(bs / dt, 3),
+        f"train_step_ms{suffix}": round(dt * 1e3, 1),
     }
     if flops is not None:
-        out["train_flops_per_step"] = flops
-        out["train_mfu"] = round(flops / dt / (peak_tflops * 1e12), 4)
+        out[f"train_flops_per_step{suffix}"] = flops
+        out[f"train_mfu{suffix}"] = round(flops / dt / (peak_tflops * 1e12), 4)
     return out
 
 
@@ -174,6 +177,8 @@ def main():
     extra = {}
     if os.environ.get("MEDSEG_BENCH_TRAIN", "1") == "1":
         extra = _train_bench(cfg)
+        if os.environ.get("MEDSEG_BENCH_TRAIN_BS4", "1") == "1":
+            extra.update(_train_bench(cfg, bs=4))
 
     print(json.dumps({
         "metric": "sliding_window_volumes_per_sec_per_chip",

@@ -135,7 +135,8 @@ def build_model(cfg: Config) -> nn.Module:
             in_chans=cfg.in_chans, dim=cfg.hidden_dim, mlp_ratio=3.0,
             depths=tuple(cfg.depths), num_heads=tuple(cfg.num_heads),
             window_sizes=cfg.window_sizes(), qkv_bias=cfg.qkv_bias,
-            drop_path_rate=cfg.drop_path_rate, dtype=dtype)
+            drop_path_rate=cfg.drop_path_rate, use_pallas=_use_pallas(cfg),
+            dtype=dtype)
         return SwinUNETRCustom(
             encoder=encoder, out_channels=cfg.output_dim,
             hidden_size=cfg.hidden_dim, patch_size=cfg.patch_size3(),

@@ -118,7 +118,14 @@ class ReduceSize(nn.Module):
 
 class GCWindowAttention(nn.Module):
     """Local or global windowed attention with rel-pos bias
-    (reference: :182-380)."""
+    (reference: :182-380).
+
+    The local path exposes its raw projection parameters (qkv_kernel, ...)
+    so the fused Pallas window-attention kernel
+    (ops/pallas/window_attention.py) can consume them directly via the
+    ``x_volume`` fast path — the same pattern as models/swin.WindowAttention.
+    The global path (queries from the FeatExtract pyramid) stays on XLA.
+    """
 
     dim: int
     num_heads: int
@@ -130,15 +137,22 @@ class GCWindowAttention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, q_global: Optional[jnp.ndarray],
-                 deterministic: bool = True) -> jnp.ndarray:
-        b_, n, c = x.shape
+    def __call__(self, x: Optional[jnp.ndarray],
+                 q_global: Optional[jnp.ndarray],
+                 deterministic: bool = True,
+                 x_volume: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         nh = self.num_heads
+        c = self.dim
         hd = c // nh
         scale = hd ** -0.5
         ws = self.window_size
 
+        table_size = (2 * ws - 1) ** 3
+        table = self.param("relative_position_bias_table", trunc_normal_init,
+                           (table_size, nh), jnp.float32)
+
         if self.use_global:
+            b_, n, _ = x.shape
             kv = nn.Dense(2 * c, use_bias=self.qkv_bias, dtype=self.dtype,
                           kernel_init=trunc_normal_init, name="qkv")(x)
             kv = kv.reshape(b_, n, 2, nh, hd).transpose(2, 0, 3, 1, 4)
@@ -149,16 +163,36 @@ class GCWindowAttention(nn.Module):
             qg = jnp.repeat(q_global, b_ // bsz, axis=0)  # (B_, ws,ws,ws,C)
             q = qg.reshape(b_, n, nh, hd).transpose(0, 2, 1, 3)
         else:
-            qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
-                           kernel_init=trunc_normal_init, name="qkv")(x)
+            wqkv = self.param("qkv_kernel", trunc_normal_init, (c, 3 * c),
+                              jnp.float32)
+            bqkv = (self.param("qkv_bias", nn.initializers.zeros, (3 * c,),
+                               jnp.float32) if self.qkv_bias else None)
+            wproj = self.param("proj_kernel", trunc_normal_init, (c, c),
+                               jnp.float32)
+            bproj = self.param("proj_bias", nn.initializers.zeros, (c,),
+                               jnp.float32)
+
+            if x_volume is not None:
+                # fused Pallas path: partition+qkv+attention+proj+reverse in
+                # one kernel over the (ws-divisible) volume; no shift/mask
+                from medicalsemseg_tpu.ops.pallas.window_attention import (
+                    fused_window_attention_trainable)
+
+                bq = bqkv if bqkv is not None else jnp.zeros(
+                    (3 * c,), jnp.float32)
+                return fused_window_attention_trainable(
+                    x_volume.astype(self.dtype), wqkv, bq, wproj, bproj,
+                    table, ws, nh, 0)
+
+            b_, n, _ = x.shape
+            qkv = jnp.dot(x, wqkv.astype(self.dtype))
+            if bqkv is not None:
+                qkv = qkv + bqkv.astype(self.dtype)
             qkv = qkv.reshape(b_, n, 3, nh, hd).transpose(2, 0, 3, 1, 4)
             q, k, v = qkv[0], qkv[1], qkv[2]
 
         attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k,
                           preferred_element_type=jnp.float32)
-        table_size = (2 * ws - 1) ** 3
-        table = self.param("relative_position_bias_table", trunc_normal_init,
-                           (table_size, nh), jnp.float32)
         idx = jnp.asarray(relative_position_index((ws, ws, ws)))
         attn = attn + table[idx].transpose(2, 0, 1)[None]
 
@@ -166,8 +200,12 @@ class GCWindowAttention(nn.Module):
         attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
-        out = nn.Dense(c, dtype=self.dtype, kernel_init=trunc_normal_init,
-                       name="proj")(out)
+        if self.use_global:
+            out = nn.Dense(c, dtype=self.dtype, kernel_init=trunc_normal_init,
+                           name="proj")(out)
+        else:
+            out = jnp.dot(out, wproj.astype(self.dtype)) + bproj.astype(
+                self.dtype)
         return nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
 
 
@@ -185,6 +223,7 @@ class GCViTBlock(nn.Module):
     attn_drop: float = 0.0
     drop_path_rate: float = 0.0
     layer_scale: Optional[float] = None
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -193,13 +232,22 @@ class GCViTBlock(nn.Module):
         ws = min(self.window_size, d, h, w)
         shortcut = x
         xn = LayerNorm(dtype=self.dtype, name="norm1")(x)
-        wins = window_partition(xn, ws)
-        wins = GCWindowAttention(
+        attn = GCWindowAttention(
             dim=c, num_heads=self.num_heads, window_size=ws,
             use_global=self.use_global, qkv_bias=self.qkv_bias,
             attn_drop=self.attn_drop, proj_drop=self.drop, dtype=self.dtype,
-            name="attn")(wins, q_global, deterministic)
-        xn = window_reverse(wins, ws, (d, h, w))
+            name="attn")
+        # the fused kernel covers the local (no-global-query) path at
+        # inference; training keeps XLA (this pod's AOT compiler rejects
+        # large backward graphs containing the kernel, see NOTES.md)
+        fuse = (self.use_pallas and not self.use_global and deterministic
+                and d % ws == 0 and h % ws == 0 and w % ws == 0)
+        if fuse:
+            xn = attn(None, None, deterministic, x_volume=xn)
+        else:
+            wins = window_partition(xn, ws)
+            wins = attn(wins, q_global, deterministic)
+            xn = window_reverse(wins, ws, (d, h, w))
 
         if self.layer_scale is not None:
             g1 = self.param("gamma1", nn.initializers.constant(self.layer_scale),
@@ -233,6 +281,7 @@ class GCViTLayer(nn.Module):
     attn_drop: float = 0.0
     drop_path_rates: Tuple[float, ...] = (0.0,)
     layer_scale: Optional[float] = None
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -265,7 +314,8 @@ class GCViTLayer(nn.Module):
                 qkv_bias=self.qkv_bias, drop=self.drop,
                 attn_drop=self.attn_drop,
                 drop_path_rate=self.drop_path_rates[i],
-                layer_scale=self.layer_scale, dtype=self.dtype,
+                layer_scale=self.layer_scale, use_pallas=self.use_pallas,
+                dtype=self.dtype,
                 name=f"blocks_{i}")(x, q, deterministic)
         return ReduceSize(dim=self.dim, dtype=self.dtype, name="downsample")(x)
 
@@ -285,6 +335,7 @@ class GCViT3D(nn.Module):
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.2
     layer_scale: Optional[float] = None
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -308,7 +359,8 @@ class GCViT3D(nn.Module):
                 drop=self.drop_rate, attn_drop=self.attn_drop_rate,
                 drop_path_rates=tuple(
                     dpr[sum(self.depths[:i]):sum(self.depths[:i + 1])]),
-                layer_scale=self.layer_scale, dtype=self.dtype,
+                layer_scale=self.layer_scale, use_pallas=self.use_pallas,
+                dtype=self.dtype,
                 name=f"levels_{i}")(x, deterministic)
             outputs.append(LayerNorm(dtype=self.dtype, name=f"norm{i}")(x))
         return outputs

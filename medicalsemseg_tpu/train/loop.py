@@ -108,6 +108,10 @@ def train_one_epoch(state, train_step, loader, epoch: int, cfg: Config,
             epoch_1000x = int((it / max(steps, 1) + epoch) * 1000)
             log_writer.add_scalar("train_loss", loss_mean, epoch_1000x)
             log_writer.add_scalar("lr", lr, epoch_1000x)
+            if host["mdice_n"] > 0:
+                log_writer.add_scalar(
+                    "train_mDice",
+                    float(host["mdice_sum"]) / host["mdice_n"], epoch_1000x)
 
     acc = None
     for it, batch in enumerate(logger.log_every(loader.epoch(epoch), freq,
@@ -190,4 +194,8 @@ def run_validation(state, model, loader, cfg: Config, epoch: int,
     if log_writer is not None:
         log_writer.add_scalar("val_loss", stats["val/loss"], epoch)
         log_writer.add_scalar("val_mDice", stats["val/mDice"], epoch)
+        for name in _class_meter_names(n_cls):
+            key = f"val/{name}"
+            if key in stats and logger.meters[name].count > 0:
+                log_writer.add_scalar(f"val_{name}", stats[key], epoch)
     return stats

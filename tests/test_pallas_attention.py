@@ -102,3 +102,36 @@ def test_encoder_pallas_flag_matches_xla_interpret(monkeypatch):
     for a, b in zip(out_x, out_p):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_gcvit_pallas_flag_matches_xla_interpret(monkeypatch):
+    """GCViT3D(use_pallas=True) == use_pallas=False in interpret mode.
+
+    Covers the local-attention fused path (global-query blocks stay XLA)."""
+    import medicalsemseg_tpu.ops.pallas.window_attention as pwa
+
+    orig = pwa.fused_window_attention_trainable
+
+    def interp(x, wqkv, bqkv, wproj, bproj, table, ws, nh, shift=0,
+               wpb=8, interpret=False):
+        return orig(x, wqkv, bqkv, wproj, bproj, table, ws, nh, shift, wpb,
+                    True)
+
+    monkeypatch.setattr(pwa, "fused_window_attention_trainable", interp)
+
+    from medicalsemseg_tpu.models.gcvit import GCViT3D
+
+    kw = dict(in_chans=1, dim=8, depths=(2, 2), num_heads=(2, 2),
+              window_sizes=(2, 2), qkv_bias=True, drop_path_rate=0.0)
+    enc_x = GCViT3D(use_pallas=False, **kw)
+    enc_p = GCViT3D(use_pallas=True, **kw)
+    rng = np.random.default_rng(3)
+    vol = jnp.asarray(rng.normal(size=(1, 16, 16, 16, 1)).astype(np.float32))
+    x_in = (vol, None, None)
+    variables = jax.jit(lambda r, x: enc_x.init(r, x, deterministic=True))(
+        jax.random.PRNGKey(0), x_in)
+    out_x = enc_x.apply(variables, x_in, deterministic=True)
+    out_p = enc_p.apply(variables, x_in, deterministic=True)
+    for a, b in zip(out_x, out_p):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
