@@ -102,6 +102,30 @@ class LayerNorm(nn.Module):
         return y.astype(self.dtype)
 
 
+class _FastConv3dS1(nn.Module):
+    """nn.Conv drop-in for the 3x3x3 / stride-1 / SAME / dense case, routed
+    through ops/convgrad.conv3x3x3_s1 (2.7x faster weight gradients on TPU).
+    Param names/shapes/inits match nn.Conv so checkpoints are identical."""
+
+    features: int
+    use_bias: bool
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from medicalsemseg_tpu.ops.convgrad import conv3x3x3_s1
+
+        c = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, 3, c, self.features), jnp.float32)
+        y = conv3x3x3_s1(x.astype(self.dtype), kernel.astype(self.dtype))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 class Conv3d(nn.Module):
     """Channels-last 3D conv; NDHWC x DHWIO -> NDHWC maps directly to the MXU."""
 
@@ -115,10 +139,18 @@ class Conv3d(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        y = nn.Conv(self.features, self.kernel_size, strides=self.strides,
-                    padding=self.padding, use_bias=self.use_bias,
-                    feature_group_count=self.feature_group_count,
-                    dtype=self.dtype)(x)
+        if (tuple(self.kernel_size) == (3, 3, 3)
+                and tuple(self.strides) == (1, 1, 1)
+                and self.padding == "SAME"
+                and self.feature_group_count == 1):
+            # same module name as nn.Conv's auto-name: param tree unchanged
+            y = _FastConv3dS1(self.features, self.use_bias, self.dtype,
+                              name="Conv_0")(x)
+        else:
+            y = nn.Conv(self.features, self.kernel_size, strides=self.strides,
+                        padding=self.padding, use_bias=self.use_bias,
+                        feature_group_count=self.feature_group_count,
+                        dtype=self.dtype)(x)
         # identity outside remat; under remat_module("conv") marks this value
         # as saved so the backward replay never re-runs the convolution
         return checkpoint_name(y, "conv_out")

@@ -6,11 +6,11 @@ channels (reference: models/segmentors/swin_unetr.py:73-130). XLA's native 5D
 conv lowering reaches only ~11% MFU there (measured, tools/bench_conv3d.py):
 the 48-channel contraction underfills the 128-wide MXU on both operands.
 
-The hypothesis measured on this chip (tools/bench_matmul_shapes.py): the SAME
-conv expressed as one (M, 27*C) @ (27*C, Co) matmul runs at ~59 TF/s (30%
-peak) for Co=48 — but only if the im2col matrix never touches HBM (XLA-level
-im2col costs 4.6 GB of traffic per conv and loses). This kernel builds the
-im2col tile in VMEM scratch:
+The original hypothesis — "the same conv as one (M, 27*C) @ (27*C, Co)
+matmul runs at ~59 TF/s" — came from a FLAWED benchmark whose dot got
+algebraically simplified away (see tools/bench_matmul_shapes.py's docstring);
+the honest number for that shape is 11 TF/s, HBM-bound. The kernel still
+documents the in-VMEM im2col design:
 
   grid (B, D, H/TH); three input specs give the kd in {-1,0,+1} d-slabs of a
   halo-chunked input; per step 27 VMEM copies assemble cols (TH*W, 27*C) and

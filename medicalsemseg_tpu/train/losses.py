@@ -49,11 +49,15 @@ def dice_loss(logits: jnp.ndarray, labels: jnp.ndarray,
 
 
 def cross_entropy_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
-    """torch.nn.CrossEntropyLoss equivalent (mean over voxels)."""
+    """torch.nn.CrossEntropyLoss equivalent (mean over voxels).
+
+    Formulated as -sum(logp * onehot) rather than a take_along_axis gather:
+    the gather lowers to a ~11 ms custom-call at 96^3 on TPU, while the
+    one-hot product fuses with the Dice terms (which materialize the same
+    one-hot) into the shared softmax pass."""
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     n_classes = logits.shape[-1]
-    nll = -jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32),
-                               axis=-1)[..., 0]
+    nll = -(logp * _onehot(labels, n_classes)).sum(-1)
     return nll.mean()
 
 

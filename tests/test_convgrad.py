@@ -1,0 +1,71 @@
+"""Tap-decomposed conv weight gradient: parity with XLA autodiff, and the
+Conv3d fast path must keep the exact nn.Conv parameter tree."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from medicalsemseg_tpu.models.layers import Conv3d
+from medicalsemseg_tpu.ops.convgrad import conv3x3x3_s1, _conv
+
+
+def _rand(shape, seed=0, scale=1.0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.normal(size=shape) * scale, jnp.float32)
+
+
+def test_forward_matches_xla():
+    x = _rand((2, 5, 6, 7, 4), seed=1)
+    w = _rand((3, 3, 3, 4, 8), seed=2, scale=0.2)
+    np.testing.assert_allclose(np.asarray(conv3x3x3_s1(x, w)),
+                               np.asarray(_conv(x, w)), rtol=2e-5, atol=2e-5)
+
+
+def test_gradients_match_autodiff():
+    x = _rand((2, 4, 5, 6, 3), seed=3)
+    w = _rand((3, 3, 3, 3, 5), seed=4, scale=0.2)
+    cot = _rand((2, 4, 5, 6, 5), seed=5)
+
+    def loss(fn, x, w):
+        return (fn(x, w) * cot).sum()
+
+    gx, gw = jax.grad(lambda a, b: loss(conv3x3x3_s1, a, b), (0, 1))(x, w)
+    rx, rw = jax.grad(lambda a, b: loss(_conv, a, b), (0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(rw),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_conv3d_param_tree_unchanged():
+    """The fast path must produce the same params as nn.Conv (Conv_0/kernel,
+    Conv_0/bias) and the same outputs given those params."""
+    x = _rand((1, 4, 4, 4, 6), seed=6)
+    fast = Conv3d(8, (3, 3, 3), dtype=jnp.float32)
+    ref = nn.Conv(8, (3, 3, 3), strides=(1, 1, 1), padding="SAME")
+
+    vf = fast.init(jax.random.PRNGKey(0), x)
+    vr = ref.init(jax.random.PRNGKey(0), x)
+    # fast path nests under Conv_0 exactly like our wrapper's nn.Conv did
+    assert set(vf["params"].keys()) == {"Conv_0"}
+    assert set(vf["params"]["Conv_0"].keys()) == {"kernel", "bias"}
+    assert (vf["params"]["Conv_0"]["kernel"].shape
+            == vr["params"]["kernel"].shape)
+
+    # outputs equal when given identical weights
+    vf2 = {"params": {"Conv_0": vr["params"]}}
+    got = fast.apply(vf2, x)
+    want = ref.apply(vr, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_conv3d_fallback_path_for_strided():
+    x = _rand((1, 4, 4, 4, 6), seed=7)
+    m = Conv3d(8, (3, 3, 3), strides=(2, 2, 2),
+               padding=((1, 1), (1, 1), (1, 1)))
+    v = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(v, x)
+    assert y.shape == (1, 2, 2, 2, 8)
