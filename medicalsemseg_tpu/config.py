@@ -177,6 +177,9 @@ class Config:
     pallas_train: bool = False  # opt-in: fused attention in TRAINING via the
     # custom VJP (gradient-verified); this pod's AOT compiler rejects the
     # flagship whole-graph backward with the kernel inside, so default off
+    ref_quirk_rel_pos: bool = False  # reproduce the reference's colliding
+    # GC-ViT/nnFormer rel-pos index strides (3w-1, 2w-1) for bit-compatible
+    # import of reference checkpoints of those models (ops/window.py)
     fused_loss: bool = False  # opt-in fused Pallas DiceCE
     # (ops/pallas/dice_ce.py): 3.3x faster than the XLA loss standalone
     # (6.0 vs 20.0 ms fwd+bwd at 96^3x14) but NEUTRAL-to-negative inside the
@@ -346,6 +349,7 @@ def build_parser() -> argparse.ArgumentParser:
     _add_bool_flag(g, "device_data_pipeline", False)
     _add_bool_flag(g, "pallas_train", False)
     _add_bool_flag(g, "fused_loss", False)
+    _add_bool_flag(g, "ref_quirk_rel_pos", False)
 
     return p
 

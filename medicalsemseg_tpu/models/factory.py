@@ -136,7 +136,7 @@ def build_model(cfg: Config) -> nn.Module:
             depths=tuple(cfg.depths), num_heads=tuple(cfg.num_heads),
             window_sizes=cfg.window_sizes(), qkv_bias=cfg.qkv_bias,
             drop_path_rate=cfg.drop_path_rate, use_pallas=_use_pallas(cfg),
-            dtype=dtype)
+            ref_quirk_index=cfg.ref_quirk_rel_pos, dtype=dtype)
         return SwinUNETRCustom(
             encoder=encoder, out_channels=cfg.output_dim,
             hidden_size=cfg.hidden_dim, patch_size=cfg.patch_size3(),
@@ -166,7 +166,8 @@ def build_model(cfg: Config) -> nn.Module:
                         window_sizes=cfg.window_sizes(),
                         patch_size=cfg.patch_size3(), qkv_bias=cfg.qkv_bias,
                         drop_path_rate=cfg.drop_path_rate,
-                        deep_supervision=cfg.deep_supervision, dtype=dtype)
+                        deep_supervision=cfg.deep_supervision,
+                        ref_quirk_index=cfg.ref_quirk_rel_pos, dtype=dtype)
 
     if name == "UNETR_Official":
         # the reference's DEFAULT model name, which its factory silently

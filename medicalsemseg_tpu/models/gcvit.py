@@ -33,6 +33,7 @@ from medicalsemseg_tpu.models.layers import (
 )
 from medicalsemseg_tpu.ops.window import (
     relative_position_index,
+    relative_position_index_ref_quirk,
     window_partition,
     window_reverse,
 )
@@ -134,6 +135,8 @@ class GCWindowAttention(nn.Module):
     qkv_bias: bool = True
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    ref_quirk_index: bool = False  # reproduce the reference's colliding
+    # rel-pos strides for bit-compatible checkpoint import (ops/window.py)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -193,7 +196,9 @@ class GCWindowAttention(nn.Module):
 
         attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k,
                           preferred_element_type=jnp.float32)
-        idx = jnp.asarray(relative_position_index((ws, ws, ws)))
+        index_fn = (relative_position_index_ref_quirk if self.ref_quirk_index
+                    else relative_position_index)
+        idx = jnp.asarray(index_fn((ws, ws, ws)))
         attn = attn + table[idx].transpose(2, 0, 1)[None]
 
         attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
@@ -224,6 +229,7 @@ class GCViTBlock(nn.Module):
     drop_path_rate: float = 0.0
     layer_scale: Optional[float] = None
     use_pallas: bool = False
+    ref_quirk_index: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -235,12 +241,16 @@ class GCViTBlock(nn.Module):
         attn = GCWindowAttention(
             dim=c, num_heads=self.num_heads, window_size=ws,
             use_global=self.use_global, qkv_bias=self.qkv_bias,
-            attn_drop=self.attn_drop, proj_drop=self.drop, dtype=self.dtype,
+            attn_drop=self.attn_drop, proj_drop=self.drop,
+            ref_quirk_index=self.ref_quirk_index, dtype=self.dtype,
             name="attn")
         # the fused kernel covers the local (no-global-query) path at
         # inference; training keeps XLA (this pod's AOT compiler rejects
         # large backward graphs containing the kernel, see NOTES.md)
+        # the fused kernel gathers the STANDARD index table, so the quirk
+        # mode keeps the XLA path
         fuse = (self.use_pallas and not self.use_global and deterministic
+                and not self.ref_quirk_index
                 and d % ws == 0 and h % ws == 0 and w % ws == 0)
         if fuse:
             xn = attn(None, None, deterministic, x_volume=xn)
@@ -282,6 +292,7 @@ class GCViTLayer(nn.Module):
     drop_path_rates: Tuple[float, ...] = (0.0,)
     layer_scale: Optional[float] = None
     use_pallas: bool = False
+    ref_quirk_index: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -315,7 +326,7 @@ class GCViTLayer(nn.Module):
                 attn_drop=self.attn_drop,
                 drop_path_rate=self.drop_path_rates[i],
                 layer_scale=self.layer_scale, use_pallas=self.use_pallas,
-                dtype=self.dtype,
+                ref_quirk_index=self.ref_quirk_index, dtype=self.dtype,
                 name=f"blocks_{i}")(x, q, deterministic)
         return ReduceSize(dim=self.dim, dtype=self.dtype, name="downsample")(x)
 
@@ -336,6 +347,7 @@ class GCViT3D(nn.Module):
     drop_path_rate: float = 0.2
     layer_scale: Optional[float] = None
     use_pallas: bool = False
+    ref_quirk_index: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -360,7 +372,7 @@ class GCViT3D(nn.Module):
                 drop_path_rates=tuple(
                     dpr[sum(self.depths[:i]):sum(self.depths[:i + 1])]),
                 layer_scale=self.layer_scale, use_pallas=self.use_pallas,
-                dtype=self.dtype,
+                ref_quirk_index=self.ref_quirk_index, dtype=self.dtype,
                 name=f"levels_{i}")(x, deterministic)
             outputs.append(LayerNorm(dtype=self.dtype, name=f"norm{i}")(x))
         return outputs

@@ -40,6 +40,7 @@ from medicalsemseg_tpu.models.swin import BasicLayer, SwinBlock
 from medicalsemseg_tpu.ops.window import (
     pad_to_multiple,
     relative_position_index,
+    relative_position_index_ref_quirk,
     resolve_window,
     window_partition,
     window_reverse,
@@ -86,6 +87,8 @@ class CrossWindowAttention(nn.Module):
     window_size: Tuple[int, int, int]
     num_heads: int
     qkv_bias: bool = True
+    ref_quirk_index: bool = False  # reproduce the reference's colliding
+    # rel-pos strides for bit-compatible checkpoint import (ops/window.py)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -106,7 +109,9 @@ class CrossWindowAttention(nn.Module):
         table = self.param("relative_position_bias_table", trunc_normal_init,
                            (int(np.prod([2 * w - 1 for w in self.window_size])),
                             nh), jnp.float32)
-        idx = jnp.asarray(relative_position_index(tuple(self.window_size)))
+        index_fn = (relative_position_index_ref_quirk if self.ref_quirk_index
+                    else relative_position_index)
+        idx = jnp.asarray(index_fn(tuple(self.window_size)))
         attn = attn + table[idx].transpose(2, 0, 1)[None]
         if mask is not None:
             nw = mask.shape[0]
@@ -130,6 +135,7 @@ class CrossSwinBlock(nn.Module):
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
     drop_path_rate: float = 0.0
+    ref_quirk_index: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -146,8 +152,8 @@ class CrossSwinBlock(nn.Module):
         up_w = window_partition(up_n, ws)
         out_w = CrossWindowAttention(
             dim=c, window_size=(ws, ws, ws), num_heads=self.num_heads,
-            qkv_bias=self.qkv_bias, dtype=self.dtype, name="attn")(
-                skip_w, up_w)
+            qkv_bias=self.qkv_bias, ref_quirk_index=self.ref_quirk_index,
+            dtype=self.dtype, name="attn")(skip_w, up_w)
         out = window_reverse(out_w, ws, (dp, hp, wp))[:, :d, :h, :w]
         x = shortcut + DropPath(self.drop_path_rate)(
             out, deterministic=deterministic)
@@ -189,6 +195,7 @@ class NNFormer(nn.Module):
     qkv_bias: bool = True
     drop_path_rate: float = 0.2
     deep_supervision: bool = False
+    ref_quirk_index: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -232,7 +239,8 @@ class NNFormer(nn.Module):
             x = CrossSwinBlock(
                 dim=dim, num_heads=dec_heads[j], window_size=dec_windows[j],
                 mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
-                drop_path_rate=0.0, dtype=self.dtype,
+                drop_path_rate=0.0, ref_quirk_index=self.ref_quirk_index,
+                dtype=self.dtype,
                 name=f"dec_{j}_cross")(x, skip, up, deterministic)
             for b in range(1, dec_depths[j]):
                 x = SwinBlock(

@@ -121,6 +121,29 @@ def relative_position_index(window_size: Tuple3) -> np.ndarray:
     return rel.sum(-1).astype(np.int32)
 
 
+@functools.lru_cache(maxsize=None)
+def relative_position_index_ref_quirk(window_size: Tuple3) -> np.ndarray:
+    """The reference's NON-standard index for GC-ViT / official nnFormer:
+    strides (3*w1-1, 2*w1-1, 1) instead of ((2w1-1)(2w2-1), 2w2-1, 1)
+    (reference: models/backbones/gc_vit_3d.py:209-210,
+    models/segmentors/nnformer_official/nnformer_official.py:176-177).
+    This COLLIDES distinct relative offsets onto shared table entries; it is
+    reproduced verbatim behind --ref_quirk_rel_pos so reference checkpoints
+    for those models can be imported bit-compatibly."""
+    w0, w1, w2 = window_size
+    coords = np.stack(np.meshgrid(np.arange(w0), np.arange(w1), np.arange(w2),
+                                  indexing="ij"))
+    flat = coords.reshape(3, -1)
+    rel = flat[:, :, None] - flat[:, None, :]
+    rel = rel.transpose(1, 2, 0).astype(np.int64)
+    rel[:, :, 0] += w0 - 1
+    rel[:, :, 1] += w1 - 1
+    rel[:, :, 2] += w2 - 1
+    rel[:, :, 0] *= 3 * w1 - 1
+    rel[:, :, 1] *= 2 * w1 - 1
+    return rel.sum(-1).astype(np.int32)
+
+
 def resolve_window(input_resolution: Sequence[int], window_size: int,
                    shift_size: int) -> Tuple[int, int]:
     """Clamp window/shift for small grids.

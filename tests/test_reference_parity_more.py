@@ -332,3 +332,49 @@ def test_nnformer_cross_attention_parity():
         want = ref(torch.from_numpy(skip), torch.from_numpy(up)).numpy()
     got = ours.apply({"params": params}, jnp.asarray(skip), jnp.asarray(up))
     np.testing.assert_allclose(np.asarray(got), want, rtol=3e-4, atol=3e-5)
+
+
+def test_nnformer_cross_attention_ref_quirk_direct_parity():
+    """--ref_quirk_rel_pos reproduces the reference's colliding index strides
+    so the reference's bias table can be used verbatim (no regather)."""
+    import types as _types
+    nn_mod = _types.ModuleType(
+        "models.segmentors.nnformer_official.neural_network")
+    nn_mod.SegmentationNetwork = torch.nn.Module
+    sys.modules.setdefault(
+        "models.segmentors.nnformer_official.neural_network", nn_mod)
+    from models.segmentors.nnformer_official.nnformer_official import (
+        WindowAttention_kv as RefKV,
+    )
+
+    from medicalsemseg_tpu.models.nnformer import CrossWindowAttention
+    from medicalsemseg_tpu.ops.window import relative_position_index_ref_quirk
+
+    torch.manual_seed(7)
+    dim, nh, ws = 8, 2, (2, 2, 2)
+    ref = RefKV(dim, ws, nh, qkv_bias=True).eval()
+    with torch.no_grad():
+        ref.relative_position_bias_table.copy_(
+            torch.randn(ref.relative_position_bias_table.shape) * 0.02)
+
+    # sanity: our quirk index equals the reference's buffer
+    np.testing.assert_array_equal(
+        relative_position_index_ref_quirk(ws),
+        ref.relative_position_index.numpy())
+
+    ours = CrossWindowAttention(dim=dim, window_size=ws, num_heads=nh,
+                                qkv_bias=True, ref_quirk_index=True)
+    params = {
+        "kv": dense_params(ref.kv),
+        "proj": dense_params(ref.proj),
+        "relative_position_bias_table": jnp.asarray(
+            ref.relative_position_bias_table.detach().numpy()),
+    }
+    rng = np.random.default_rng(7)
+    n = 8
+    skip = rng.normal(size=(4, n, dim)).astype(np.float32)
+    up = rng.normal(size=(4, n, dim)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(skip), torch.from_numpy(up)).numpy()
+    got = ours.apply({"params": params}, jnp.asarray(skip), jnp.asarray(up))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=3e-4, atol=3e-5)
