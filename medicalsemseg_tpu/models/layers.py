@@ -156,6 +156,41 @@ class Conv3d(nn.Module):
         return checkpoint_name(y, "conv_out")
 
 
+class _MatmulConvTranspose(nn.Module):
+    """nn.ConvTranspose drop-in for the non-overlapping (kernel == strides,
+    VALID) case: one (M, Ci) @ (Ci, k^3*Co) matmul + depth-to-space. Each
+    output voxel receives exactly one kernel tap, so the transposed conv IS
+    a per-phase dense projection — MXU-shaped forward AND backward (the dW
+    becomes a single wide-N contraction instead of XLA's slow grad-conv).
+    Param names/shapes/inits match nn.ConvTranspose."""
+
+    features: int
+    kernel_size: Tuple[int, int, int]
+    use_bias: bool
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kd, kh, kw = self.kernel_size
+        b, d, h, w, ci = x.shape
+        co = self.features
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (kd, kh, kw, ci, co), jnp.float32)
+        # nn.ConvTranspose applies taps spatially flipped:
+        # y[k*i + p] = x[i] * w[k-1-p]
+        wf = jnp.flip(kernel, (0, 1, 2)).transpose(3, 0, 1, 2, 4)
+        wf = wf.reshape(ci, kd * kh * kw * co)
+        y = jnp.dot(x.astype(self.dtype), wf.astype(self.dtype))
+        y = y.reshape(b, d, h, w, kd, kh, kw, co)
+        y = y.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(
+            b, d * kd, h * kh, w * kw, co)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (co,),
+                              jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 class ConvTranspose3d(nn.Module):
     """Channels-last transposed conv used by the UNETR up blocks."""
 
@@ -167,9 +202,16 @@ class ConvTranspose3d(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        y = nn.ConvTranspose(self.features, self.kernel_size,
-                             strides=self.strides, padding="VALID",
-                             use_bias=self.use_bias, dtype=self.dtype)(x)
+        if tuple(self.kernel_size) == tuple(self.strides):
+            # same module name as nn.ConvTranspose's auto-name: param tree
+            # unchanged
+            y = _MatmulConvTranspose(self.features, tuple(self.kernel_size),
+                                     self.use_bias, self.dtype,
+                                     name="ConvTranspose_0")(x)
+        else:
+            y = nn.ConvTranspose(self.features, self.kernel_size,
+                                 strides=self.strides, padding="VALID",
+                                 use_bias=self.use_bias, dtype=self.dtype)(x)
         return checkpoint_name(y, "conv_out")
 
 

@@ -69,3 +69,34 @@ def test_conv3d_fallback_path_for_strided():
     v = m.init(jax.random.PRNGKey(0), x)
     y = m.apply(v, x)
     assert y.shape == (1, 2, 2, 2, 8)
+
+
+def test_convtranspose_matmul_path_matches_nnconvtranspose():
+    """_MatmulConvTranspose == nn.ConvTranspose for kernel == strides, and
+    the parameter tree is unchanged (ConvTranspose_0/kernel, .../bias)."""
+    from medicalsemseg_tpu.models.layers import ConvTranspose3d
+
+    x = _rand((2, 3, 4, 5, 6), seed=8)
+    ours = ConvTranspose3d(7, (2, 2, 2), (2, 2, 2))
+    ref = nn.ConvTranspose(7, (2, 2, 2), strides=(2, 2, 2), padding="VALID")
+
+    vo = ours.init(jax.random.PRNGKey(0), x)
+    vr = ref.init(jax.random.PRNGKey(0), x)
+    assert set(vo["params"].keys()) == {"ConvTranspose_0"}
+    assert (vo["params"]["ConvTranspose_0"]["kernel"].shape
+            == vr["params"]["kernel"].shape)
+
+    vo2 = {"params": {"ConvTranspose_0": vr["params"]}}
+    got = ours.apply(vo2, x)
+    want = ref.apply(vr, x)
+    assert got.shape == want.shape == (2, 6, 8, 10, 7)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+    # gradients agree too (pure autodiff through the matmul form)
+    cot = _rand(got.shape, seed=9)
+    g1 = jax.grad(lambda v: (ours.apply(v, x) * cot).sum())(vo2)
+    g2 = jax.grad(lambda v: (ref.apply(v, x) * cot).sum())(vr)
+    np.testing.assert_allclose(
+        np.asarray(g1["params"]["ConvTranspose_0"]["kernel"]),
+        np.asarray(g2["params"]["kernel"]), rtol=1e-4, atol=1e-5)
