@@ -76,10 +76,12 @@ class UnetrUpBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, skip: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, skip: jnp.ndarray,
+                 deterministic: bool = False) -> jnp.ndarray:
         x = ConvTranspose3d(self.out_channels, kernel_size=self.upsample,
                             strides=self.upsample, use_bias=False,
-                            dtype=self.dtype, name="transp_conv")(x)
+                            dtype=self.dtype, name="transp_conv")(
+                                x, deterministic)
         x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
         return UnetResBlock(self.out_channels, self.kernel_size,
                             dtype=self.dtype, name="conv_block")(x)
@@ -115,7 +117,8 @@ class SwinUNETRDecoder(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, vol: jnp.ndarray, z: List[jnp.ndarray]) -> jnp.ndarray:
+    def __call__(self, vol: jnp.ndarray, z: List[jnp.ndarray],
+                 deterministic: bool = False) -> jnp.ndarray:
         h = self.hidden_size
         nl = self.num_layers
         assert len(z) == nl + 1
@@ -125,7 +128,7 @@ class SwinUNETRDecoder(nn.Module):
         # compiler even though every block compiles individually. Mode "conv"
         # saves the conv outputs so the replay is elementwise-only.
         res_cls = remat_module(UnetResBlock, self.remat)
-        up_cls = remat_module(UnetrUpBlock, self.remat)
+        up_cls = remat_module(UnetrUpBlock, self.remat, static_argnums=(3,))
 
         # per-scale residual refiners ("unet_encoders" in the reference)
         enc0 = res_cls(h, dtype=self.dtype, name="encoder0")(
@@ -139,9 +142,9 @@ class SwinUNETRDecoder(nn.Module):
         x = enc[-1]
         for i in range(nl - 1, -1, -1):
             x = up_cls(h * 2 ** i, dtype=self.dtype,
-                       name=f"decoder{i + 1}")(x, enc[i])
+                       name=f"decoder{i + 1}")(x, enc[i], deterministic)
         x = up_cls(h, upsample=self.patch_size, dtype=self.dtype,
-                   name="decoder0")(x, enc0)
+                   name="decoder0")(x, enc0, deterministic)
         return UnetOutBlock(self.out_channels, dtype=self.dtype, name="out")(x)
 
 
@@ -166,7 +169,8 @@ class SwinUNETRCustom(nn.Module):
         return SwinUNETRDecoder(
             out_channels=self.out_channels, hidden_size=self.hidden_size,
             patch_size=self.patch_size, num_layers=len(z) - 1,
-            remat=self.remat, dtype=self.dtype, name="decoder")(vol, z)
+            remat=self.remat, dtype=self.dtype, name="decoder")(
+                vol, z, deterministic)
 
 
 class _LinearEmbed(nn.Module):

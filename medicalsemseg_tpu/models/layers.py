@@ -158,11 +158,15 @@ class Conv3d(nn.Module):
 
 class _MatmulConvTranspose(nn.Module):
     """nn.ConvTranspose drop-in for the non-overlapping (kernel == strides,
-    VALID) case: one (M, Ci) @ (Ci, k^3*Co) matmul + depth-to-space. Each
-    output voxel receives exactly one kernel tap, so the transposed conv IS
-    a per-phase dense projection — MXU-shaped forward AND backward (the dW
-    becomes a single wide-N contraction instead of XLA's slow grad-conv).
-    Param names/shapes/inits match nn.ConvTranspose."""
+    VALID) case. Each output voxel receives exactly one kernel tap, so the
+    transposed conv IS a per-phase dense projection: one
+    (M, Ci) @ (Ci, k^3*Co) matmul + depth-to-space. That form wins in
+    TRAINING (the dW becomes a single wide-N contraction instead of XLA's
+    slow grad-conv; flagship step 163.9 -> 157.3 ms) but its depth-to-space
+    pass loses ~3% sliding-window throughput at inference, where XLA's
+    native lowering fuses better — so ``deterministic=True`` routes to
+    lax.conv_transpose over the SAME declared parameters. Param
+    names/shapes/inits match nn.ConvTranspose (checkpoint-invisible)."""
 
     features: int
     kernel_size: Tuple[int, int, int]
@@ -170,20 +174,27 @@ class _MatmulConvTranspose(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray,
+                 deterministic: bool = False) -> jnp.ndarray:
         kd, kh, kw = self.kernel_size
         b, d, h, w, ci = x.shape
         co = self.features
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (kd, kh, kw, ci, co), jnp.float32)
-        # nn.ConvTranspose applies taps spatially flipped:
-        # y[k*i + p] = x[i] * w[k-1-p]
-        wf = jnp.flip(kernel, (0, 1, 2)).transpose(3, 0, 1, 2, 4)
-        wf = wf.reshape(ci, kd * kh * kw * co)
-        y = jnp.dot(x.astype(self.dtype), wf.astype(self.dtype))
-        y = y.reshape(b, d, h, w, kd, kh, kw, co)
-        y = y.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(
-            b, d * kd, h * kh, w * kw, co)
+        if deterministic:
+            y = jax.lax.conv_transpose(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                strides=tuple(self.kernel_size), padding="VALID",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        else:
+            # nn.ConvTranspose applies taps spatially flipped:
+            # y[k*i + p] = x[i] * w[k-1-p]
+            wf = jnp.flip(kernel, (0, 1, 2)).transpose(3, 0, 1, 2, 4)
+            wf = wf.reshape(ci, kd * kh * kw * co)
+            y = jnp.dot(x.astype(self.dtype), wf.astype(self.dtype))
+            y = y.reshape(b, d, h, w, kd, kh, kw, co)
+            y = y.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(
+                b, d * kd, h * kh, w * kw, co)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (co,),
                               jnp.float32)
@@ -201,13 +212,14 @@ class ConvTranspose3d(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray,
+                 deterministic: bool = False) -> jnp.ndarray:
         if tuple(self.kernel_size) == tuple(self.strides):
             # same module name as nn.ConvTranspose's auto-name: param tree
-            # unchanged
+            # unchanged; the matmul/native lowering follows the mode
             y = _MatmulConvTranspose(self.features, tuple(self.kernel_size),
                                      self.use_bias, self.dtype,
-                                     name="ConvTranspose_0")(x)
+                                     name="ConvTranspose_0")(x, deterministic)
         else:
             y = nn.ConvTranspose(self.features, self.kernel_size,
                                  strides=self.strides, padding="VALID",

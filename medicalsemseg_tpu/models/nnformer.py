@@ -171,10 +171,11 @@ class PatchExpanding(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray,
+                 deterministic: bool = False) -> jnp.ndarray:
         x = LayerNorm(dtype=self.dtype, name="norm")(x)
         return ConvTranspose3d(self.dim // 2, (2, 2, 2), (2, 2, 2),
-                               dtype=self.dtype, name="up")(x)
+                               dtype=self.dtype, name="up")(x, deterministic)
 
 
 class NNFormer(nn.Module):
@@ -233,7 +234,7 @@ class NNFormer(nn.Module):
             dim_in = int(self.embed_dim * 2 ** (nl - 1 - j))
             dim = dim_in // 2
             up = PatchExpanding(dim_in, dtype=self.dtype,
-                                name=f"up_{j}")(x)
+                                name=f"up_{j}")(x, deterministic)
             skip = skips[nl - 2 - j]
             x = up + skip
             x = CrossSwinBlock(
@@ -258,7 +259,7 @@ class NNFormer(nn.Module):
             dim = feat.shape[-1]
             logits = ConvTranspose3d(self.out_channels, self.patch_size,
                                      self.patch_size, dtype=self.dtype,
-                                     name=f"final_{j}")(feat)
+                                     name=f"final_{j}")(feat, deterministic)
             heads.append(logits.astype(jnp.float32))
         if self.deep_supervision and not deterministic:
             # ds heads feed the training loss only; inference (deterministic)

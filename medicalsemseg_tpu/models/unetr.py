@@ -44,14 +44,15 @@ class UnetrPrUpBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray,
+                 deterministic: bool = False) -> jnp.ndarray:
         x = ConvTranspose3d(self.out_channels, (2, 2, 2), (2, 2, 2),
                             use_bias=False, dtype=self.dtype,
-                            name="transp_conv_init")(x)
+                            name="transp_conv_init")(x, deterministic)
         for i in range(self.num_layer):
             x = ConvTranspose3d(self.out_channels, (2, 2, 2), (2, 2, 2),
                                 use_bias=False, dtype=self.dtype,
-                                name=f"up_{i}")(x)
+                                name=f"up_{i}")(x, deterministic)
             x = UnetResBlock(self.out_channels, dtype=self.dtype,
                              name=f"res_{i}")(x)
         return x
@@ -89,14 +90,14 @@ class UNETR(nn.Module):
 
         enc1 = UnetResBlock(f, dtype=self.dtype, name="encoder1")(vol)
         enc2 = UnetrPrUpBlock(2 * f, num_layer=2, dtype=self.dtype,
-                              name="encoder2")(z3)
+                              name="encoder2")(z3, deterministic)
         enc3 = UnetrPrUpBlock(4 * f, num_layer=1, dtype=self.dtype,
-                              name="encoder3")(z6)
+                              name="encoder3")(z6, deterministic)
         enc4 = UnetrPrUpBlock(8 * f, num_layer=0, dtype=self.dtype,
-                              name="encoder4")(z9)
+                              name="encoder4")(z9, deterministic)
 
-        x = UnetrUpBlock(8 * f, dtype=self.dtype, name="decoder5")(z12, enc4)
-        x = UnetrUpBlock(4 * f, dtype=self.dtype, name="decoder4")(x, enc3)
-        x = UnetrUpBlock(2 * f, dtype=self.dtype, name="decoder3")(x, enc2)
-        x = UnetrUpBlock(f, dtype=self.dtype, name="decoder2")(x, enc1)
+        x = UnetrUpBlock(8 * f, dtype=self.dtype, name="decoder5")(z12, enc4, deterministic)
+        x = UnetrUpBlock(4 * f, dtype=self.dtype, name="decoder4")(x, enc3, deterministic)
+        x = UnetrUpBlock(2 * f, dtype=self.dtype, name="decoder3")(x, enc2, deterministic)
+        x = UnetrUpBlock(f, dtype=self.dtype, name="decoder2")(x, enc1, deterministic)
         return UnetOutBlock(self.out_channels, dtype=self.dtype, name="out")(x)

@@ -92,6 +92,11 @@ def test_convtranspose_matmul_path_matches_nnconvtranspose():
     assert got.shape == want.shape == (2, 6, 8, 10, 7)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+    # inference mode routes to the native lax.conv_transpose lowering over
+    # the same params — identical output
+    got_det = ours.apply(vo2, x, deterministic=True)
+    np.testing.assert_allclose(np.asarray(got_det), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
 
     # gradients agree too (pure autodiff through the matmul form)
     cot = _rand(got.shape, seed=9)
