@@ -328,7 +328,12 @@ def sliding_window_inference(
                                      jnp.arange(n_batches))
         return out / cnt
 
-    result = jax.vmap(infer_one)(x, affine)  # (B, *image_size, n_cls)
+    # unrolled over the (static, tiny) volume batch instead of jax.vmap:
+    # the vmapped batch dim infected every predictor intermediate as a
+    # near-minor layout dim ({4,0,3,2,1} on the (B,sw,96^3,C) tensors),
+    # which ran the decoder's InstanceNorm reductions at ~21 GB/s — 44% of
+    # the volume time (profiled; ~445 ms of convert_reduce fusions/volume)
+    result = jnp.stack([infer_one(x[i], affine[i]) for i in range(b)], 0)
 
     # crop the roi padding back off (reference: engine/utils.py:153-159)
     sl = tuple(slice(pads[i][0], pads[i][0] + (d0, h0, w0)[i]) for i in range(3))
