@@ -179,7 +179,10 @@ class Config:
     # flagship whole-graph backward with the kernel inside, so default off
     ref_quirk_rel_pos: bool = False  # reproduce the reference's colliding
     # GC-ViT/nnFormer rel-pos index strides (3w-1, 2w-1) for bit-compatible
-    # import of reference checkpoints of those models (ops/window.py)
+    # import of reference checkpoints of those models (ops/window.py).
+    # Reaches EVERY attention block of those models: GC-ViT local/global,
+    # nnFormer cross blocks AND its regular W-MSA/SW-MSA blocks
+    # (nnformer_official.py:254-255 uses the same colliding strides)
     fused_loss: bool = False  # opt-in fused Pallas DiceCE
     # (ops/pallas/dice_ce.py): 3.3x faster than the XLA loss standalone
     # (6.0 vs 20.0 ms fwd+bwd at 96^3x14) but NEUTRAL-to-negative inside the
@@ -345,7 +348,13 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--remat", nargs="?", const="conv", default="conv",
                    choices=["none", "conv", "full"],
                    help="rematerialize model blocks; 'conv' (default) saves "
-                        "conv outputs and replays only elementwise chains")
+                        "conv outputs and replays only elementwise chains. "
+                        "NB: bare --remat used to mean 'full' (round-1 bool "
+                        "flag); it now selects 'conv' — pass --remat full "
+                        "for the old behavior, --no_remat for none")
+    # round-1 scripts used bool-style --no_remat; keep it as an alias
+    g.add_argument("--no_remat", dest="remat", action="store_const",
+                   const="none", help="alias for --remat none")
     _add_bool_flag(g, "device_data_pipeline", False)
     _add_bool_flag(g, "pallas_train", False)
     _add_bool_flag(g, "fused_loss", False)

@@ -13,9 +13,13 @@ there, SURVEY.md §2.2):
   * deep supervision: a ConvTranspose(patch) head per decoder scale
     (:906-915, wiring :952-978).
 
-Deviation (documented): rel-pos index tables use the standard (2w-1) strides;
-the reference's (3w-1, 2w-1) strides collide table entries (same quirk as its
-GC-ViT). The stem uses total stride == patch_size (the reference's stride
+Deviation (documented): rel-pos index tables use the standard (2w-1) strides
+by default; the reference's (3w-1, 2w-1) strides collide table entries (same
+quirk as its GC-ViT). ``ref_quirk_index=True`` (--ref_quirk_rel_pos)
+reproduces the reference indexing in EVERY attention block — the cross
+blocks, the regular encoder/decoder SwinBlocks (nnformer_official.py:254-255
+uses the same colliding strides), and GC-ViT — for bit-compatible checkpoint
+import. The stem uses total stride == patch_size (the reference's stride
 arithmetic only yields that for patch 2, its shipped configuration).
 """
 
@@ -218,6 +222,7 @@ class NNFormer(nn.Module):
                 mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
                 drop_path_rates=tuple(
                     dpr[sum(self.depths[:i]):sum(self.depths[:i + 1])]),
+                ref_quirk_index=self.ref_quirk_index,
                 dtype=self.dtype, name=f"layers_{i}")(
                     x, deterministic=deterministic)
             skips.append(LayerNorm(dtype=self.dtype, name=f"norm{i}")(x_out))
@@ -248,7 +253,8 @@ class NNFormer(nn.Module):
                     dim=dim, input_resolution=x.shape[1:4],
                     num_heads=dec_heads[j], window_size=dec_windows[j],
                     shift_size=dec_windows[j] // 2, mlp_ratio=self.mlp_ratio,
-                    qkv_bias=self.qkv_bias, dtype=self.dtype,
+                    qkv_bias=self.qkv_bias,
+                    ref_quirk_index=self.ref_quirk_index, dtype=self.dtype,
                     name=f"dec_{j}_blocks_{b}")(
                         x, deterministic=deterministic)[0]
             outs.append(x)

@@ -44,6 +44,7 @@ from medicalsemseg_tpu.models.layers import (
 from medicalsemseg_tpu.ops.window import (
     pad_to_multiple,
     relative_position_index,
+    relative_position_index_ref_quirk,
     resolve_window,
     shift_window_attn_mask,
     window_partition,
@@ -82,6 +83,9 @@ class WindowAttention(nn.Module):
     proj_drop: float = 0.0
     rel_pos_bias_affine: bool = False
     global_token: bool = False
+    ref_quirk_index: bool = False  # reproduce the reference's colliding
+    # rel-pos strides (official nnFormer, nnformer_official.py:176-177) for
+    # bit-compatible checkpoint import — see ops/window.py
     dtype: Dtype = jnp.float32
 
     def qkv_params(self):
@@ -151,7 +155,9 @@ class WindowAttention(nn.Module):
         attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k,
                           preferred_element_type=jnp.float32)
 
-        rel_idx = jnp.asarray(relative_position_index(tuple(self.window_size)))
+        index_fn = (relative_position_index_ref_quirk if self.ref_quirk_index
+                    else relative_position_index)
+        rel_idx = jnp.asarray(index_fn(tuple(self.window_size)))
         rel_bias = rel_table[rel_idx]  # (N, N, nh)
         rel_bias = rel_bias.transpose(2, 0, 1)[None]  # (1, nh, N, N)
         if self.global_token:
@@ -224,6 +230,7 @@ class SwinBlock(nn.Module):
     mlp_type: str = "dense"
     use_pallas: bool = False
     pallas_train: bool = False
+    ref_quirk_index: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -247,14 +254,18 @@ class SwinBlock(nn.Module):
             n_windows=n_windows, qkv_bias=self.qkv_bias,
             attn_drop=self.attn_drop, proj_drop=self.drop,
             rel_pos_bias_affine=self.rel_pos_bias_affine,
-            global_token=self.global_token, dtype=self.dtype, name="attn")
+            global_token=self.global_token,
+            ref_quirk_index=self.ref_quirk_index, dtype=self.dtype,
+            name="attn")
 
         # the fused Pallas kernel covers the plain path (no global token,
-        # no affine bias). Training can opt in via pallas_train (custom VJP;
-        # gradient-verified) — off by default because this pod's AOT compiler
-        # rejects the flagship whole-graph backward with the kernel inside.
+        # no affine bias, standard rel-pos index). Training can opt in via
+        # pallas_train (custom VJP; gradient-verified) — off by default
+        # because this pod's AOT compiler rejects the flagship whole-graph
+        # backward with the kernel inside.
         fuse = (self.use_pallas and not self.global_token
                 and not self.rel_pos_bias_affine
+                and not self.ref_quirk_index
                 and (deterministic or (self.pallas_train
                                        and self.attn_drop == 0.0
                                        and self.drop == 0.0)))
@@ -318,6 +329,7 @@ class BasicLayer(nn.Module):
     mlp_type: str = "dense"
     use_pallas: bool = False
     pallas_train: bool = False
+    ref_quirk_index: bool = False
     remat: Any = "none"
     dtype: Dtype = jnp.float32
 
@@ -338,6 +350,7 @@ class BasicLayer(nn.Module):
                 rel_pos_bias_affine=self.rel_pos_bias_affine,
                 global_token=self.global_token, mlp_type=self.mlp_type,
                 use_pallas=self.use_pallas, pallas_train=self.pallas_train,
+                ref_quirk_index=self.ref_quirk_index,
                 dtype=self.dtype, name=f"blocks_{i}")(
                     x, affine, gt, deterministic)
         x_down = PatchMerging(dim=self.dim, dtype=self.dtype, name="downsample")(x)

@@ -30,6 +30,18 @@ force_cpu()
 # the persistent compilation cache so test compiles amortize across runs.
 enable_compilation_cache()
 
+# Build the native C++ data-loader library so its tests run instead of
+# skipping (VERDICT r2 #6). Cheap no-op when already up to date.
+import subprocess  # noqa: E402
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native")
+try:
+    subprocess.run(["make", "-C", _NATIVE_DIR], check=False,
+                   capture_output=True, timeout=120)
+except (OSError, subprocess.TimeoutExpired):  # no toolchain: tests will skip
+    pass
+
 
 @pytest.fixture(scope="session")
 def devices():

@@ -378,3 +378,47 @@ def test_nnformer_cross_attention_ref_quirk_direct_parity():
         want = ref(torch.from_numpy(skip), torch.from_numpy(up)).numpy()
     got = ours.apply({"params": params}, jnp.asarray(skip), jnp.asarray(up))
     np.testing.assert_allclose(np.asarray(got), want, rtol=3e-4, atol=3e-5)
+
+
+def test_swin_window_attention_ref_quirk_parity():
+    """--ref_quirk_rel_pos also reaches the REGULAR W-MSA attention used by
+    NNFormer's non-cross blocks: the official nnFormer's plain WindowAttention
+    (nnformer_official.py:254-255) uses the same colliding (3w-1, 2w-1)
+    strides, so an imported bias table must be gathered through the quirk
+    index there too (ADVICE r2, medium)."""
+    import types as _types
+    nn_mod = _types.ModuleType(
+        "models.segmentors.nnformer_official.neural_network")
+    nn_mod.SegmentationNetwork = torch.nn.Module
+    sys.modules.setdefault(
+        "models.segmentors.nnformer_official.neural_network", nn_mod)
+    from models.segmentors.nnformer_official.nnformer_official import (
+        WindowAttention as RefWA,
+    )
+
+    from medicalsemseg_tpu.models.swin import WindowAttention
+
+    torch.manual_seed(11)
+    dim, nh, ws = 8, 2, (2, 2, 2)
+    ref = RefWA(dim, ws, nh, qkv_bias=True).eval()
+    with torch.no_grad():
+        ref.relative_position_bias_table.copy_(
+            torch.randn(ref.relative_position_bias_table.shape) * 0.02)
+
+    ours = WindowAttention(dim=dim, window_size=ws, num_heads=nh,
+                           n_windows=4, qkv_bias=True, ref_quirk_index=True)
+    params = {
+        "qkv_kernel": t2j(ref.qkv.weight.T),
+        "qkv_bias": t2j(ref.qkv.bias),
+        "proj_kernel": t2j(ref.proj.weight.T),
+        "proj_bias": t2j(ref.proj.bias),
+        "relative_position_bias_table": jnp.asarray(
+            ref.relative_position_bias_table.detach().numpy()),
+    }
+    rng = np.random.default_rng(11)
+    n = 8
+    x = rng.normal(size=(4, n, dim)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+    got, _ = ours.apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=3e-4, atol=3e-5)
