@@ -28,20 +28,32 @@ from medicalsemseg_tpu.utils import checkpoint as ckpt
 from medicalsemseg_tpu.utils.jitutil import enable_compilation_cache
 
 
-def eval_model(state, model, loader, cfg: Config):
+def eval_model(state, model, loader, cfg: Config, mesh=None):
+    """With a multi-device ``mesh``, same-shaped volumes run one-per-chip
+    (volume-level DP; reference partitions eval across ranks,
+    data/dataset_builder.py:460-464) — per-volume logits are bit-identical
+    to the single-device path."""
     n_cls = cfg.output_dim
     air_cval = ((0.0 - cfg.t_norm_mean) / cfg.t_norm_std
                 if cfg.t_normalize else 0.0)
 
     from medicalsemseg_tpu.infer.sliding_window import (
-        bucket_pad,
+        grouped_padded_volumes,
         jitted_sliding_window,
+        jitted_sliding_window_sharded,
     )
 
-    sw_run = jitted_sliding_window(model)
+    n_group = int(mesh.shape["data"]) if mesh is not None else 1
+    sw_run = (jitted_sliding_window_sharded(model, mesh) if n_group > 1
+              else jitted_sliding_window(model))
     variables = {"params": state.params}
     if jax.tree_util.tree_leaves(state.batch_stats):
         variables["batch_stats"] = state.batch_stats
+    if n_group > 1:  # replicate weights across the inference mesh
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        variables = jax.device_put(
+            variables, NamedSharding(mesh, PartitionSpec()))
 
     @jax.jit
     def pred_and_dice(logits, labels):
@@ -50,16 +62,10 @@ def eval_model(state, model, loader, cfg: Config):
         return pred[0].astype(jnp.uint8), dice[0], nn[0]
 
     all_dice, all_nn, all_hd = [], [], []
-    for i, sample in enumerate(loader):
-        padded, orig = bucket_pad(sample.image, cfg.sw_bucket_multiple,
-                                  air_cval)
-        vol = jnp.asarray(padded)[None]
-        aff_xyz = jnp.asarray(np.diag(sample.original_affine)[:3],
-                              jnp.float32)[None]
-        logits = sw_run(variables, vol, aff_xyz, roi=cfg.vol_size3(),
-                        sw_batch=cfg.batch_size_val,
-                        overlap=cfg.val_infer_overlap, mode="gaussian",
-                        cval=air_cval, tta=cfg.tta_mirror, n_classes=n_cls)
+    i = 0
+
+    def one_volume(logits, sample, orig):
+        nonlocal i
         logits = logits[:, :orig[0], :orig[1], :orig[2]]
         gt = sample.label[..., 0].astype(np.int32)
         pred_dev, dice_dev, nn_dev = pred_and_dice(logits,
@@ -75,6 +81,7 @@ def eval_model(state, model, loader, cfg: Config):
         print(f"[{i}] {os.path.basename(sample.name)}: "
               f"mDice {dice[nn > 0].mean():.4f} "
               f"HD95 {finite_hd.mean() if len(finite_hd) else float('nan'):.2f}")
+        i += 1
 
         if cfg.save_eval_output and cfg.output_dir:
             out_dir = os.path.join(cfg.output_dir, "eval_output",
@@ -86,6 +93,16 @@ def eval_model(state, model, loader, cfg: Config):
                 os.makedirs(d, exist_ok=True)
                 nifti.save(nifti.NiftiImage(arr, sample.affine),
                            os.path.join(d, name))
+
+    for vols, affs, samples, origs in grouped_padded_volumes(
+            loader, n_group, cfg.sw_bucket_multiple, air_cval):
+        logits_all = sw_run(variables, jnp.asarray(vols), jnp.asarray(affs),
+                            roi=cfg.vol_size3(), sw_batch=cfg.batch_size_val,
+                            overlap=cfg.val_infer_overlap, mode="gaussian",
+                            cval=air_cval, tta=cfg.tta_mirror,
+                            n_classes=n_cls)
+        for k, (sample, orig) in enumerate(zip(samples, origs)):
+            one_volume(logits_all[k:k + 1], sample, orig)
 
     dice_all = np.stack(all_dice)
     nn_all = np.stack(all_nn)
@@ -120,8 +137,14 @@ def main(cfg: Config):
         state = ckpt.load_params_only(cfg.resume, state)
         print(f"Loaded checkpoint {cfg.resume}")
 
+    from medicalsemseg_tpu.parallel.mesh import create_mesh
+
+    local = jax.local_devices()
+    mesh = create_mesh((len(local),), devices=local) if len(local) > 1 else None
+    if mesh is not None:
+        print(f"volume-parallel evaluation over {len(local)} devices")
     t0 = time.time()
-    eval_model(state, model, loader, cfg)
+    eval_model(state, model, loader, cfg, mesh=mesh)
     print(f"Evaluation took {time.time() - t0:.1f}s for {len(ds)} volumes")
 
 

@@ -36,31 +36,31 @@ def resample_3d_nearest(vol: np.ndarray, target_size) -> np.ndarray:
     return ndimage.zoom(vol, ratios, order=0, prefilter=False)
 
 
-def test_model(state, model, loader, cfg: Config):
+def test_model(state, model, loader, cfg: Config, mesh=None):
+    """With a multi-device ``mesh``, same-shaped volumes are predicted
+    one-per-chip (volume-level DP; logits bit-identical per volume)."""
     air_cval = ((0.0 - cfg.t_norm_mean) / cfg.t_norm_std
                 if cfg.t_normalize else 0.0)
 
     from medicalsemseg_tpu.infer.sliding_window import (
-        bucket_pad,
+        grouped_padded_volumes,
         jitted_sliding_window,
+        jitted_sliding_window_sharded,
     )
 
-    sw_run = jitted_sliding_window(model)
+    n_group = int(mesh.shape["data"]) if mesh is not None else 1
+    sw_run = (jitted_sliding_window_sharded(model, mesh) if n_group > 1
+              else jitted_sliding_window(model))
     variables = {"params": state.params}
     if jax.tree_util.tree_leaves(state.batch_stats):
         variables["batch_stats"] = state.batch_stats
+    if n_group > 1:  # replicate weights across the inference mesh
+        from jax.sharding import NamedSharding, PartitionSpec
 
-    for sample in loader:
-        t0 = time.time()
-        padded, orig = bucket_pad(sample.image, cfg.sw_bucket_multiple,
-                                  air_cval)
-        vol = jnp.asarray(padded)[None]
-        aff_xyz = jnp.asarray(np.diag(sample.original_affine)[:3],
-                              jnp.float32)[None]
-        logits = sw_run(variables, vol, aff_xyz, roi=cfg.vol_size3(),
-                        sw_batch=cfg.batch_size_val,
-                        overlap=cfg.val_infer_overlap, mode="gaussian",
-                        cval=air_cval, tta=cfg.tta_mirror, n_classes=cfg.output_dim)
+        variables = jax.device_put(
+            variables, NamedSharding(mesh, PartitionSpec()))
+
+    def one_volume(logits, sample, orig, t0):
         logits = logits[:, :orig[0], :orig[1], :orig[2]]
         pred = np.asarray(jnp.argmax(logits[0], axis=-1)).astype(np.uint8)
 
@@ -90,6 +90,17 @@ def test_model(state, model, loader, cfg: Config):
         print(f"{img_name}: predicted in {time.time() - t0:.1f}s "
               f"shape {pred.shape}")
 
+    for vols, affs, samples, origs in grouped_padded_volumes(
+            loader, n_group, cfg.sw_bucket_multiple, air_cval):
+        t0 = time.time()
+        logits_all = sw_run(variables, jnp.asarray(vols), jnp.asarray(affs),
+                            roi=cfg.vol_size3(), sw_batch=cfg.batch_size_val,
+                            overlap=cfg.val_infer_overlap, mode="gaussian",
+                            cval=air_cval, tta=cfg.tta_mirror,
+                            n_classes=cfg.output_dim)
+        for k, (sample, orig) in enumerate(zip(samples, origs)):
+            one_volume(logits_all[k:k + 1], sample, orig, t0)
+
 
 def main(cfg: Config):
     enable_compilation_cache()
@@ -108,8 +119,14 @@ def main(cfg: Config):
         state = ckpt.load_params_only(cfg.resume, state)
         print(f"Loaded checkpoint {cfg.resume}")
 
+    from medicalsemseg_tpu.parallel.mesh import create_mesh
+
+    local = jax.local_devices()
+    mesh = create_mesh((len(local),), devices=local) if len(local) > 1 else None
+    if mesh is not None:
+        print(f"volume-parallel prediction over {len(local)} devices")
     t0 = time.time()
-    test_model(state, model, loader, cfg)
+    test_model(state, model, loader, cfg, mesh=mesh)
     print(f"Testing took {time.time() - t0:.1f}s for {len(ds)} volumes")
 
 

@@ -133,6 +133,13 @@ def main(cfg: Config) -> dict:
     repl = replicated(mesh)
     state = jax.device_put(state, repl)
 
+    # validation spreads whole volumes one-per-chip over the local devices
+    # (reference: val partitioned per rank, dataset_builder.py:460-464); the
+    # train mesh may be smaller when the batch doesn't divide the chip count
+    local = jax.local_devices()
+    val_mesh = create_mesh((len(local),), devices=local) if len(local) > 1 \
+        else None
+
     def put_batch(batch):
         # host numpy batches and device-pipeline jax arrays both reshard here
         # (no host round-trip for arrays already in HBM)
@@ -178,7 +185,7 @@ def main(cfg: Config) -> dict:
 
         if not (epoch + 1) % cfg.val_interval:
             val_stats = run_validation(state, model, loader_val, cfg, epoch,
-                                       log_writer=log_writer)
+                                       log_writer=log_writer, mesh=val_mesh)
             log_stats.update(val_stats)
             if val_stats["val/mDice"] > best_val_metric:
                 print(f"New record at epoch {epoch}! Previous best: "

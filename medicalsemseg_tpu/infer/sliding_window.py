@@ -199,6 +199,91 @@ def sliding_window_inference_sharded(
     return result[sl][None]
 
 
+def jitted_sliding_window_sharded(model, mesh, axis: str = "data"):
+    """Volume-level data-parallel sliding-window runner over a device mesh.
+
+    The reference partitions validation volumes across ranks and all-reduces
+    the metrics (reference: data/dataset_builder.py:460-464,
+    utils/misc.py:34-45); the TPU-native mapping is one shard_map over the
+    mesh's data axis where EVERY chip runs the complete single-volume
+    Gaussian sliding-window program on its own volume — no collectives in the
+    hot path, and each volume's logits are bit-identical to the single-device
+    runner (the shard body is the same program). Drivers group same-shaped
+    volumes (see grouped_padded_volumes) into (n_dev, D, H, W, C) stacks.
+
+    Returns fn(variables, vols (N,D,H,W,C), affines (N,3), *, roi, sw_batch,
+    overlap, mode, cval, n_classes, tta) -> (N, D, H, W, n_classes).
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    key = (model, mesh, axis)
+    if key in _JITTED_SW_CACHE:
+        return _JITTED_SW_CACHE[key]
+
+    @functools.partial(jax.jit, static_argnames=(
+        "roi", "sw_batch", "overlap", "mode", "cval", "n_classes", "tta"))
+    def run(variables, vols, affines, *, roi, sw_batch, overlap,
+            mode="gaussian", cval=0.0, n_classes=None, tta=False):
+        def shard_body(variables, vol_l, aff_l):
+            def predictor(model_in):
+                return model.apply(variables, model_in, deterministic=True)
+
+            if tta:
+                from medicalsemseg_tpu.infer.tta import mirror_tta
+
+                predictor = mirror_tta(predictor)
+            return sliding_window_inference(
+                vol_l, aff_l, roi, sw_batch, predictor, overlap=overlap,
+                mode=mode, cval=cval, n_classes=n_classes)
+
+        # check_rep=False: the scan carry accumulators start replicated and
+        # become device-varying once window probabilities blend in; the body
+        # has no collectives so the replication analysis is moot
+        fn = shard_map(shard_body, mesh=mesh,
+                       in_specs=(P(), P(axis), P(axis)), out_specs=P(axis),
+                       check_rep=False)
+        return fn(variables, vols, affines)
+
+    _JITTED_SW_CACHE[key] = run
+    return run
+
+
+def grouped_padded_volumes(loader, n_group: int, multiple: int, cval: float):
+    """Group a Sample iterator into same-shaped padded stacks for volume-DP.
+
+    Yields (vols (G, D', H', W', C) fp32, affines (G, 3) fp32, samples list,
+    orig_shapes list) with G == n_group; only volumes whose bucket-padded
+    shape matches are grouped, so each volume's sliding-window program (and
+    logits) is IDENTICAL to the single-device path. Trailing partial groups
+    are filled by repeating the last volume — callers consume only the first
+    len(samples) outputs. n_group == 1 degenerates to the plain per-volume
+    iteration order.
+    """
+    pending: dict = {}
+
+    def make_group(items):
+        samples = [s for s, _, _ in items]
+        pads = [p for _, p, _ in items]
+        origs = [o for _, _, o in items]
+        while len(pads) < n_group:  # fill: repeated volumes are discarded
+            pads.append(pads[-1])
+        vols = np.stack(pads).astype(np.float32)
+        affs = np.stack([
+            np.diag(s.original_affine)[:3].astype(np.float32)
+            for s in (samples + [samples[-1]] * (n_group - len(samples)))])
+        return vols, affs, samples, origs
+
+    for sample in loader:
+        padded, orig = bucket_pad(sample.image, multiple, cval)
+        key = padded.shape
+        pending.setdefault(key, []).append((sample, padded, orig))
+        if len(pending[key]) == n_group:
+            yield make_group(pending.pop(key))
+    for key in list(pending):
+        yield make_group(pending.pop(key))
+
+
 _JITTED_SW_CACHE: dict = {}
 
 

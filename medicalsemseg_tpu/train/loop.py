@@ -134,9 +134,16 @@ def train_one_epoch(state, train_step, loader, epoch: int, cfg: Config,
 
 
 def run_validation(state, model, loader, cfg: Config, epoch: int,
-                   log_writer=None):
+                   log_writer=None, mesh=None):
     """Whole-volume sliding-window validation: loss + per-class Dice
-    (reference: engine/val.py:15-110)."""
+    (reference: engine/val.py:15-110).
+
+    With a multi-device ``mesh``, same-shaped volumes are grouped and spread
+    one-per-chip (volume-level DP; the reference partitions validation across
+    ranks and all-reduces metrics — data/dataset_builder.py:460-464,
+    utils/misc.py:34-45). Each volume's logits are bit-identical to the
+    single-device path; per-volume metrics are computed exactly as before.
+    """
     loss_fn = build_loss(cfg)
     n_cls = cfg.output_dim
     # padding value for air under normalization (reference: engine/val.py:32-35)
@@ -144,13 +151,25 @@ def run_validation(state, model, loader, cfg: Config, epoch: int,
 
     from medicalsemseg_tpu.infer.sliding_window import (
         bucket_pad,
+        grouped_padded_volumes,
         jitted_sliding_window,
+        jitted_sliding_window_sharded,
     )
 
+    n_group = int(mesh.shape["data"]) if mesh is not None else 1
+    if n_group > 1:
+        sw_sharded = jitted_sliding_window_sharded(model, mesh)
     sw_run = jitted_sliding_window(model)
     variables = {"params": state.params}
     if jax.tree_util.tree_leaves(state.batch_stats):
         variables["batch_stats"] = state.batch_stats
+    if n_group > 1:
+        # the training mesh may span fewer devices than the validation mesh
+        # (batch divisibility); re-place the replicated weights on val's mesh
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        variables = jax.device_put(
+            variables, NamedSharding(mesh, PartitionSpec()))
 
     @jax.jit
     def val_metrics(logits, labels):
@@ -167,16 +186,7 @@ def run_validation(state, model, loader, cfg: Config, epoch: int,
     for name in _class_meter_names(n_cls):
         logger.add_meter(name, SmoothedValue(100, "{value:.6f}"))
 
-    for sample in logger.log_every(loader, 5, f"Val: [{epoch}]",
-                                   total=len(loader)):
-        padded, orig = bucket_pad(sample.image, cfg.sw_bucket_multiple, cval)
-        vol = jnp.asarray(padded)[None]  # (1, D', H', W', C)
-        affine_xyz = jnp.asarray(
-            np.diag(sample.original_affine)[:3], jnp.float32)[None]
-        logits = sw_run(variables, vol, affine_xyz, roi=cfg.vol_size3(),
-                        sw_batch=cfg.sw_batch_size,
-                        overlap=cfg.val_infer_overlap, mode="gaussian",
-                        cval=cval, n_classes=n_cls)
+    def volume_metrics(logits, sample, orig):
         logits = logits[:, :orig[0], :orig[1], :orig[2]]
         labels = jnp.asarray(sample.label[..., 0].astype(np.int32))[None]
         loss_dev, dice_dev, nn_dev = val_metrics(logits, labels)
@@ -187,6 +197,30 @@ def run_validation(state, model, loader, cfg: Config, epoch: int,
               if not_nan[c] > 0}
         mdice = (dice[not_nan > 0].mean() if (not_nan > 0).any() else np.nan)
         logger.update(loss=loss, mDice=mdice, **kw)
+
+    sw_kwargs = dict(roi=cfg.vol_size3(), sw_batch=cfg.sw_batch_size,
+                     overlap=cfg.val_infer_overlap, mode="gaussian",
+                     cval=cval, n_classes=n_cls)
+    if n_group > 1:
+        groups = grouped_padded_volumes(loader, n_group,
+                                        cfg.sw_bucket_multiple, cval)
+        total = math.ceil(len(loader) / n_group)
+        for vols, affs, samples, origs in logger.log_every(
+                groups, 5, f"Val: [{epoch}]", total=total):
+            logits_all = sw_sharded(variables, jnp.asarray(vols),
+                                    jnp.asarray(affs), **sw_kwargs)
+            for i, (sample, orig) in enumerate(zip(samples, origs)):
+                volume_metrics(logits_all[i:i + 1], sample, orig)
+    else:
+        for sample in logger.log_every(loader, 5, f"Val: [{epoch}]",
+                                       total=len(loader)):
+            padded, orig = bucket_pad(sample.image, cfg.sw_bucket_multiple,
+                                      cval)
+            vol = jnp.asarray(padded)[None]  # (1, D', H', W', C)
+            affine_xyz = jnp.asarray(
+                np.diag(sample.original_affine)[:3], jnp.float32)[None]
+            logits = sw_run(variables, vol, affine_xyz, **sw_kwargs)
+            volume_metrics(logits, sample, orig)
 
     logger.synchronize_between_processes()
     print("Validation averaged stats:", logger.log_all_average())

@@ -128,6 +128,103 @@ def test_sharded_eval_forward():
                                rtol=2e-4, atol=2e-5)
 
 
+def _fake_val_samples(cfg, shapes, seed=0):
+    """Host Samples (image+label+affines) for driver-path tests."""
+    from medicalsemseg_tpu.data.transforms import Sample
+
+    rng = np.random.default_rng(seed)
+    out = []
+    for i, shp in enumerate(shapes):
+        img = rng.normal(size=(*shp, 1)).astype(np.float32)
+        lab = rng.integers(0, cfg.output_dim, (*shp, 1)).astype(np.int32)
+        out.append(Sample(image=img, label=lab, affine=np.eye(4),
+                          original_affine=np.diag([1.5, 1.5, 2.0, 1.0]),
+                          original_shape=shp, name=f"vol{i}.nii.gz"))
+    return out
+
+
+def test_grouped_padded_volumes_grouping():
+    from medicalsemseg_tpu.infer.sliding_window import grouped_padded_volumes
+
+    cfg = _cfg()
+    # 3 volumes of one padded shape + 1 of another; groups of 2
+    samples = _fake_val_samples(cfg, [(18, 20, 17), (19, 18, 18),
+                                      (24, 28, 24), (17, 19, 18)])
+    groups = list(grouped_padded_volumes(samples, 2, multiple=8, cval=0.0))
+    # shapes: three pad to (24,24,24)->... wait (18,20,17)->(24,24,24),
+    # (19,18,18)->(24,24,24), (24,28,24)->(24,32,24), (17,19,18)->(24,24,24)
+    assert len(groups) == 3
+    sizes = sorted(tuple(g[0].shape) for g in groups)
+    assert sizes == [(2, 24, 24, 24, 1), (2, 24, 24, 24, 1),
+                     (2, 24, 32, 24, 1)]
+    n_samples = sum(len(g[2]) for g in groups)
+    assert n_samples == 4
+    # partial group fills by repeating the last padded volume
+    partial = [g for g in groups if len(g[2]) == 1]
+    assert len(partial) == 2  # the 3rd same-shape volume and the odd shape
+    for vols, affs, ss, origs in partial:
+        np.testing.assert_array_equal(vols[0], vols[1])
+
+
+def test_volume_sharded_sliding_window_bitwise():
+    """Every volume's logits from the volume-DP shard_map runner are
+    BIT-IDENTICAL to the single-device jitted runner (VERDICT r2 #2)."""
+    from medicalsemseg_tpu.infer.sliding_window import (
+        bucket_pad,
+        jitted_sliding_window,
+        jitted_sliding_window_sharded,
+    )
+
+    cfg = _cfg()
+    model = build_model(cfg)
+    rng = np.random.default_rng(7)
+    shapes = [(24, 20, 28)] * 8
+    vols = [rng.normal(size=(*s, 1)).astype(np.float32) for s in shapes]
+    padded = np.stack([bucket_pad(v, 8, 0.0)[0] for v in vols])
+    affs = np.tile(np.asarray([1.5, 1.5, 2.0], np.float32), (8, 1))
+
+    x_probe = (jnp.asarray(padded[:1, :16, :16, :16]), None, None)
+    variables = jax.jit(lambda r, x: model.init(r, x, deterministic=True))(
+        jax.random.PRNGKey(0), x_probe)
+
+    mesh = create_mesh()
+    kw = dict(roi=cfg.vol_size3(), sw_batch=2, overlap=0.5, mode="gaussian",
+              cval=0.0, n_classes=cfg.output_dim)
+    sharded = jitted_sliding_window_sharded(model, mesh)(
+        variables, jnp.asarray(padded), jnp.asarray(affs), **kw)
+    solo_run = jitted_sliding_window(model)
+    for i in range(8):
+        solo = solo_run(variables, jnp.asarray(padded[i:i + 1]),
+                        jnp.asarray(affs[i:i + 1]), **kw)
+        np.testing.assert_array_equal(np.asarray(sharded[i:i + 1]),
+                                      np.asarray(solo))
+
+
+def test_run_validation_sharded_metrics_match_single_device(tmp_path):
+    """Driver-level check: run_validation over an 8-device mesh produces the
+    same averaged stats as the single-device path (VERDICT r2 #2)."""
+    from medicalsemseg_tpu.train.loop import run_validation
+    from medicalsemseg_tpu.train.state import create_train_state
+
+    cfg = _cfg()
+    model = build_model(cfg)
+    samples = _fake_val_samples(
+        cfg, [(24, 20, 28), (20, 24, 24), (24, 20, 28), (18, 17, 20),
+              (24, 20, 28)], seed=13)
+    x_probe = (jnp.zeros((1, *cfg.vol_size3(), 1)), jnp.zeros((1, 3)),
+               jnp.ones((1, 3)))
+    state, _ = create_train_state(cfg, model, jax.random.PRNGKey(3),
+                                  x_probe, 10)
+
+    stats_solo = run_validation(state, model, list(samples), cfg, epoch=0)
+    mesh = create_mesh()
+    stats_dp = run_validation(state, model, list(samples), cfg, epoch=0,
+                              mesh=mesh)
+    assert stats_solo.keys() == stats_dp.keys()
+    for k in stats_solo:
+        assert stats_solo[k] == stats_dp[k], (k, stats_solo[k], stats_dp[k])
+
+
 def test_batchnorm_stats_are_globally_reduced():
     """SyncBN falls out of SPMD: BN batch stats computed inside the sharded
     train step equal the single-device full-batch stats (the reference needs
