@@ -1,0 +1,272 @@
+"""Full-flagship numeric parity: encoder AND decoder against the reference.
+
+Closes SURVEY §7.2 step 6: build the reference's complete nnFormerUNETR
+(SwinTransformerNNFormer encoder + SwinUNETRCustom decoder,
+reference: models/model_builder.py:15-66, models/segmentors/swin_unetr.py:20-160)
+in torch with *faithful MONAI block structure and state-dict naming*
+(monai.networks.blocks.unetr_block / dynunet_block — re-implemented here with
+the same conv/norm/act graph and parameter names), transplant its weights via
+utils/torch_import.import_swin_unetr_checkpoint, and require logits parity —
+then a fixed-weights end-to-end (sliding window -> argmax -> Dice) comparison.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+import numpy as np
+import torch
+import torch.nn as nn
+
+import jax
+import jax.numpy as jnp
+
+from tests.test_reference_parity import _install_timm_stub
+
+REF = "/root/reference"
+
+
+# ---------------------------------------------------------------------------
+# Faithful torch MONAI blocks (state-dict names identical to monai 1.x:
+# UnetResBlock convs are Convolution wrappers -> "conv1.conv.weight" etc.)
+# ---------------------------------------------------------------------------
+
+class _ConvWrap(nn.Module):
+    """monai.networks.blocks.Convolution stand-in: holds the conv at `.conv`
+    so state-dict keys match MONAI's `<name>.conv.weight`."""
+
+    def __init__(self, conv: nn.Module):
+        super().__init__()
+        self.conv = conv
+
+    def forward(self, x):
+        return self.conv(x)
+
+
+class UnetResBlock(nn.Module):
+    """MONAI UnetResBlock: conv3-IN-lrelu, conv3-IN, 1x1 shortcut, lrelu
+    (monai.networks.blocks.dynunet_block; used via UnetrBasicBlock
+    res_block=True in reference swin_unetr.py:73-128)."""
+
+    def __init__(self, in_ch, out_ch, kernel_size=3, stride=1):
+        super().__init__()
+        p = kernel_size // 2
+        self.conv1 = _ConvWrap(nn.Conv3d(in_ch, out_ch, kernel_size, stride,
+                                         p, bias=False))
+        self.conv2 = _ConvWrap(nn.Conv3d(out_ch, out_ch, kernel_size, 1, p,
+                                         bias=False))
+        self.norm1 = nn.InstanceNorm3d(out_ch, affine=True)
+        self.norm2 = nn.InstanceNorm3d(out_ch, affine=True)
+        self.lrelu = nn.LeakyReLU(0.01, inplace=True)
+        self.downsample = in_ch != out_ch or stride != 1
+        if self.downsample:
+            self.conv3 = _ConvWrap(nn.Conv3d(in_ch, out_ch, 1, stride,
+                                             bias=False))
+            self.norm3 = nn.InstanceNorm3d(out_ch, affine=True)
+
+    def forward(self, x):
+        res = x
+        h = self.lrelu(self.norm1(self.conv1(x)))
+        h = self.norm2(self.conv2(h))
+        if self.downsample:
+            res = self.norm3(self.conv3(res))
+        return self.lrelu(h + res)
+
+
+class UnetrBasicBlock(nn.Module):
+    def __init__(self, spatial_dims, in_channels, out_channels, kernel_size,
+                 stride, norm_name, res_block=True):
+        super().__init__()
+        self.layer = UnetResBlock(in_channels, out_channels, kernel_size,
+                                  stride)
+
+    def forward(self, x):
+        return self.layer(x)
+
+
+class UnetrUpBlock(nn.Module):
+    def __init__(self, spatial_dims, in_channels, out_channels, kernel_size,
+                 upsample_kernel_size, norm_name, res_block=True):
+        super().__init__()
+        up = upsample_kernel_size
+        if isinstance(up, int):
+            up = (up,) * 3
+        self.transp_conv = _ConvWrap(nn.ConvTranspose3d(
+            in_channels, out_channels, up, stride=up, bias=False))
+        self.conv_block = UnetResBlock(out_channels * 2, out_channels,
+                                       kernel_size, 1)
+
+    def forward(self, x, skip):
+        x = self.transp_conv(x)
+        return self.conv_block(torch.cat([x, skip], dim=1))
+
+
+class UnetOutBlock(nn.Module):
+    def __init__(self, spatial_dims, in_channels, out_channels):
+        super().__init__()
+        self.conv = _ConvWrap(nn.Conv3d(in_channels, out_channels, 1,
+                                        bias=True))
+
+    def forward(self, x):
+        return self.conv(x)
+
+
+def _install_functional_monai_stub():
+    """Install (or upgrade in place) a monai stub whose UNETR blocks are
+    FUNCTIONAL and state-dict-faithful, then force the reference swin_unetr
+    module to re-import against it (another test file may have installed a
+    structure-only stub first)."""
+
+    def mod(name):
+        m = sys.modules.get(name)
+        if m is None:
+            m = types.ModuleType(name)
+            sys.modules[name] = m
+        return m
+
+    monai = mod("monai")
+    networks = mod("monai.networks")
+    blocks = mod("monai.networks.blocks")
+    unetr_block = mod("monai.networks.blocks.unetr_block")
+    dynunet_block = mod("monai.networks.blocks.dynunet_block")
+    utils_mod = mod("monai.utils")
+
+    unetr_block.UnetrBasicBlock = UnetrBasicBlock
+    unetr_block.UnetrUpBlock = UnetrUpBlock
+    dynunet_block.UnetOutBlock = UnetOutBlock
+    utils_mod.ensure_tuple_rep = (
+        lambda v, n: tuple(v) if isinstance(v, (tuple, list)) else (v,) * n)
+    blocks.unetr_block = unetr_block
+    blocks.dynunet_block = dynunet_block
+    networks.blocks = blocks
+    monai.networks = networks
+    monai.utils = utils_mod
+
+    # drop any previously-imported reference segmentor bound to older stubs
+    sys.modules.pop("models.segmentors.swin_unetr", None)
+
+
+def _build_reference_full_model(size: int, embed_dim: int, depths, heads,
+                                window: int, out_channels: int):
+    _install_timm_stub()
+    _install_functional_monai_stub()
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from models.backbones.swin_nnformer import SwinTransformerNNFormer
+    from models.segmentors.swin_unetr import SwinUNETRCustom
+
+    encoder = SwinTransformerNNFormer(
+        pretrain_img_size=(size,) * 3, patch_size=(2, 2, 2), in_chans=1,
+        embed_dim=embed_dim, depths=list(depths), num_heads=list(heads),
+        window_size=[window] * len(depths), qkv_bias=False,
+        use_learned_cls_vectors=False, lcv_transform=None,
+        rel_pos_bias_affine=False, rel_crop_pos_emb=False,
+        use_abs_pos_emb=False, global_token=False)
+    model = SwinUNETRCustom(encoder, in_channels=1,
+                            out_channels=out_channels, img_size=size,
+                            hidden_size=embed_dim, patch_size=2)
+    return model.eval()
+
+
+def _build_ours(size: int, embed_dim: int, depths, heads, window: int,
+                out_channels: int):
+    from medicalsemseg_tpu.config import Config
+    from medicalsemseg_tpu.models import build_model
+
+    cfg = Config(model="nnFormerUNETR", vol_size=size, patch_size=2,
+                 hidden_dim=embed_dim, depths=tuple(depths),
+                 num_heads=tuple(heads), window_size=window,
+                 output_dim=out_channels, compute_dtype="float32",
+                 qkv_bias=False, use_pallas_attention=False)
+    return build_model(cfg), cfg
+
+
+SIZE, DIM, DEPTHS, HEADS, WINDOW, NCLS = 64, 12, (1, 1, 1, 1), (2, 2, 2, 2), 2, 3
+
+
+def _paired_models(seed: int = 11):
+    from medicalsemseg_tpu.utils.torch_import import (
+        import_swin_unetr_checkpoint)
+
+    torch.manual_seed(seed)
+    ref = _build_reference_full_model(SIZE, DIM, DEPTHS, HEADS, WINDOW, NCLS)
+    ours, cfg = _build_ours(SIZE, DIM, DEPTHS, HEADS, WINDOW, NCLS)
+    params = import_swin_unetr_checkpoint(ref.state_dict(),
+                                          num_layers=len(DEPTHS))
+    return ref, ours, cfg, params
+
+
+def test_full_model_logits_parity():
+    """Encoder + UNETR decoder: transplanted weights must reproduce the
+    reference's full-model logits (the decoder has its own oracle here, not
+    just layout round-trips)."""
+    ref, ours, _, params = _paired_models()
+
+    rng = np.random.default_rng(11)
+    vol = rng.normal(size=(1, SIZE, SIZE, SIZE, 1)).astype(np.float32)
+    with torch.no_grad():
+        want = ref((torch.from_numpy(vol.transpose(0, 4, 1, 2, 3)), None,
+                    None))
+    got = ours.apply({"params": params},
+                     (jnp.asarray(vol), jnp.zeros((1, 3)), jnp.ones((1, 3))),
+                     deterministic=True)
+    np.testing.assert_allclose(np.asarray(got),
+                               want.numpy().transpose(0, 2, 3, 4, 1),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_full_pipeline_fixed_weights_end_to_end():
+    """Fixed weights end-to-end: Gaussian sliding window -> argmax -> Dice
+    must match a torch + NumPy-blending oracle on a synthetic volume
+    (reference inference path: engine/utils.py:19-159)."""
+    from tests.test_sliding_window import _np_sliding_window
+
+    from medicalsemseg_tpu.infer.sliding_window import (
+        sliding_window_inference)
+    from medicalsemseg_tpu.train.metrics import dice_per_class
+
+    ref, ours, cfg, params = _paired_models(seed=13)
+
+    roi = (SIZE, SIZE, SIZE)
+    shape = (80, 72, 64)  # multi-window grid in two axes
+    rng = np.random.default_rng(13)
+    vol = rng.normal(size=(1, *shape, 1)).astype(np.float32)
+
+    def predictor_np(win):  # (r, r, r, 1) -> (r, r, r, C) logits
+        with torch.no_grad():
+            out = ref((torch.from_numpy(
+                win[None].transpose(0, 4, 1, 2, 3)), None, None))
+        return out.numpy().transpose(0, 2, 3, 4, 1)[0]
+
+    want_logits = _np_sliding_window(vol[0], roi, 0.5, predictor_np, NCLS,
+                                     mode="gaussian")[None]
+
+    def predictor_jax(model_in):
+        win, centers, affine = model_in
+        b = win.shape[0]
+        return ours.apply({"params": params},
+                          (win, jnp.zeros((b, 3)), jnp.ones((b, 3))),
+                          deterministic=True)
+
+    got_logits = np.asarray(sliding_window_inference(
+        jnp.asarray(vol), jnp.ones((1, 3)), roi, 4, predictor_jax,
+        overlap=0.5, mode="gaussian", n_classes=NCLS))
+
+    np.testing.assert_allclose(got_logits, want_logits, rtol=2e-3, atol=2e-3)
+
+    # argmax -> per-class Dice against a synthetic label map: identical
+    pred_want = np.argmax(want_logits, axis=-1)
+    pred_got = np.argmax(got_logits, axis=-1)
+    assert (pred_want != pred_got).mean() < 1e-3  # ties at fp tolerance only
+
+    label = rng.integers(0, NCLS, size=shape).astype(np.int32)[None]
+    dice, not_nan = dice_per_class(jnp.asarray(pred_got),
+                                   jnp.asarray(label), NCLS)
+    assert np.all(np.asarray(not_nan) == 1.0)
+    got_dice = np.asarray(dice)[0]
+    inter = [(2 * ((pred_want == c) & (label == c)).sum(),
+              (pred_want == c).sum() + (label == c).sum())
+             for c in range(NCLS)]
+    want_dice = np.array([n / d if d else 1.0 for n, d in inter])
+    np.testing.assert_allclose(got_dice, want_dice, rtol=1e-5, atol=1e-3)
