@@ -55,10 +55,15 @@ def eval_model(state, model, loader, cfg: Config, mesh=None):
         variables = jax.device_put(
             variables, NamedSharding(mesh, PartitionSpec()))
 
+    from medicalsemseg_tpu.train.loop import valid_extent_mask
+
     @jax.jit
-    def pred_and_dice(logits, labels):
+    def pred_and_dice(logits, labels, orig):
+        # bucket-padded shapes + dynamic valid-extent mask: one compiled
+        # program per bucket, not one per native volume shape
+        mask = valid_extent_mask(logits.shape[:-1], orig)
         pred = jnp.argmax(logits, axis=-1)
-        dice, nn = dice_per_class(pred, labels, n_cls)
+        dice, nn = dice_per_class(pred, labels, n_cls, mask=mask)
         return pred[0].astype(jnp.uint8), dice[0], nn[0]
 
     all_dice, all_nn, all_hd = [], [], []
@@ -66,11 +71,12 @@ def eval_model(state, model, loader, cfg: Config, mesh=None):
 
     def one_volume(logits, sample, orig):
         nonlocal i
-        logits = logits[:, :orig[0], :orig[1], :orig[2]]
         gt = sample.label[..., 0].astype(np.int32)
-        pred_dev, dice_dev, nn_dev = pred_and_dice(logits,
-                                                   jnp.asarray(gt)[None])
-        pred = np.asarray(pred_dev)
+        pads = [(0, logits.shape[1 + k] - gt.shape[k]) for k in range(3)]
+        pred_dev, dice_dev, nn_dev = pred_and_dice(
+            logits, jnp.asarray(np.pad(gt, pads))[None],
+            jnp.asarray(orig, jnp.int32))
+        pred = np.asarray(pred_dev)[:orig[0], :orig[1], :orig[2]]
         dice = np.asarray(dice_dev)
         nn = np.asarray(nn_dev)
         hd = hausdorff95(pred, gt, n_cls, include_background=False)

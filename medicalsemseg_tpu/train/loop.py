@@ -133,6 +133,34 @@ def train_one_epoch(state, train_step, loader, epoch: int, cfg: Config,
     return state, {f"train/{k}": m.global_avg for k, m in logger.meters.items()}
 
 
+def valid_extent_mask(shape, orig) -> jnp.ndarray:
+    """(B, D', H', W') bool mask of the leading ``orig`` = (3,) int32 extents.
+
+    ``orig`` is a dynamic operand, so every volume in a padding bucket shares
+    ONE compiled program (VERDICT r2 #9: label volumes used to keep native
+    shapes and each distinct val shape paid a compile through the tunnel)."""
+    di = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    hi = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    wi = jax.lax.broadcasted_iota(jnp.int32, shape, 3)
+    return (di < orig[0]) & (hi < orig[1]) & (wi < orig[2])
+
+
+def make_val_metrics(loss_fn, n_cls: int):
+    """Jitted (logits, labels, orig) -> (loss, per-class dice, not_nan), all
+    at the bucket-PADDED shape with pad voxels excluded exactly via the
+    loss/Dice masks. One compile per bucket shape."""
+
+    @jax.jit
+    def val_metrics(logits, labels, orig):
+        mask = valid_extent_mask(logits.shape[:-1], orig)
+        loss = loss_fn(logits, labels, mask=mask)
+        pred = jnp.argmax(logits, axis=-1)
+        dice, not_nan = dice_per_class(pred, labels, n_cls, mask=mask)
+        return loss, dice[0], not_nan[0]
+
+    return val_metrics
+
+
 def run_validation(state, model, loader, cfg: Config, epoch: int,
                    log_writer=None, mesh=None):
     """Whole-volume sliding-window validation: loss + per-class Dice
@@ -171,14 +199,7 @@ def run_validation(state, model, loader, cfg: Config, epoch: int,
         variables = jax.device_put(
             variables, NamedSharding(mesh, PartitionSpec()))
 
-    @jax.jit
-    def val_metrics(logits, labels):
-        # one program per volume shape: loss + per-class dice on device
-        # (eager per-op dispatch costs a host round-trip each on this backend)
-        loss = loss_fn(logits, labels)
-        pred = jnp.argmax(logits, axis=-1)
-        dice, not_nan = dice_per_class(pred, labels, n_cls)
-        return loss, dice[0], not_nan[0]
+    val_metrics = make_val_metrics(loss_fn, n_cls)
 
     logger = MetricLogger()
     logger.add_meter("loss", SmoothedValue(100, "{value:.6f}"))
@@ -187,9 +208,11 @@ def run_validation(state, model, loader, cfg: Config, epoch: int,
         logger.add_meter(name, SmoothedValue(100, "{value:.6f}"))
 
     def volume_metrics(logits, sample, orig):
-        logits = logits[:, :orig[0], :orig[1], :orig[2]]
-        labels = jnp.asarray(sample.label[..., 0].astype(np.int32))[None]
-        loss_dev, dice_dev, nn_dev = val_metrics(logits, labels)
+        lab = sample.label[..., 0].astype(np.int32)
+        pads = [(0, logits.shape[1 + i] - lab.shape[i]) for i in range(3)]
+        labels = jnp.asarray(np.pad(lab, pads))[None]  # pad voxels are masked
+        loss_dev, dice_dev, nn_dev = val_metrics(
+            logits, labels, jnp.asarray(orig, jnp.int32))
         loss = float(loss_dev)
         dice = np.asarray(dice_dev)
         not_nan = np.asarray(nn_dev)

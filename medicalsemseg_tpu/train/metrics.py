@@ -22,14 +22,20 @@ _SPATIAL = (1, 2, 3)
 
 
 def dice_per_class(pred_labels: jnp.ndarray, true_labels: jnp.ndarray,
-                   n_classes: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                   n_classes: int, mask=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(B, D, H, W) int predictions/labels -> ((B, C) dice, (B, C) not_nan).
 
     dice is 0 where not_nan is 0 (callers mask with not_nan, like MONAI's
-    get_not_nans=True aggregation).
+    get_not_nans=True aggregation). An optional 0/1 ``mask`` (B, D, H, W)
+    restricts all counts to the masked voxels — used by validation to score
+    bucket-padded volumes exactly as if they had been sliced back.
     """
     p = jax.nn.one_hot(pred_labels, n_classes, dtype=jnp.float32)
     g = jax.nn.one_hot(true_labels, n_classes, dtype=jnp.float32)
+    if mask is not None:
+        m = mask.astype(jnp.float32)[..., None]
+        p = p * m
+        g = g * m
     inter = jnp.sum(p * g, axis=_SPATIAL)
     p_o = jnp.sum(p, axis=_SPATIAL)
     g_o = jnp.sum(g, axis=_SPATIAL)
