@@ -174,9 +174,13 @@ class Config:
     # bound sliding-window recompilations (static shapes, SURVEY.md §7.4)
     grad_accum_steps: int = 1  # micro-batch accumulation (optax.MultiSteps);
     # the reference steps every iteration (SURVEY.md §2.4)
-    pallas_train: bool = False  # opt-in: fused attention in TRAINING via the
-    # custom VJP (gradient-verified); this pod's AOT compiler rejects the
-    # flagship whole-graph backward with the kernel inside, so default off
+    pallas_train: bool = True  # fused attention in TRAINING via the custom
+    # VJP (gradient-verified). Per-block VMEM gate: a block joins only if its
+    # backward kernel fits scoped VMEM (pallas_train_fits) — the flagship's
+    # stage 4 (c=384, 24 heads) overflows (25.14M vs 16M) and keeps the XLA
+    # backward there; with the gate the whole-graph backward compiles (the
+    # round-2 AOT rejection was exactly that stage-4 kernel) and bs1 runs
+    # 156.4 vs 165.3 ms same-session A/B (bs4 neutral: 738 vs 739 ms)
     ref_quirk_rel_pos: bool = False  # reproduce the reference's colliding
     # GC-ViT/nnFormer rel-pos index strides (3w-1, 2w-1) for bit-compatible
     # import of reference checkpoints of those models (ops/window.py).
@@ -356,7 +360,14 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--no_remat", dest="remat", action="store_const",
                    const="none", help="alias for --remat none")
     _add_bool_flag(g, "device_data_pipeline", False)
-    _add_bool_flag(g, "pallas_train", False)
+    _add_bool_flag(g, "pallas_train", True,
+                   false_flag="--no_pallas_train",
+                   help="disable the fused-attention custom VJP in training "
+                        "(default on; per-block VMEM gate keeps oversized "
+                        "blocks on XLA)")
+    # round-2 scripts opted in with --pallas_train; keep it parseable
+    g.add_argument("--pallas_train", dest="pallas_train",
+                   action="store_true", help=argparse.SUPPRESS)
     _add_bool_flag(g, "fused_loss", False)
     _add_bool_flag(g, "ref_quirk_rel_pos", False)
 

@@ -259,16 +259,22 @@ class SwinBlock(nn.Module):
             name="attn")
 
         # the fused Pallas kernel covers the plain path (no global token,
-        # no affine bias, standard rel-pos index). Training can opt in via
-        # pallas_train (custom VJP; gradient-verified) — off by default
-        # because this pod's AOT compiler rejects the flagship whole-graph
-        # backward with the kernel inside.
+        # no affine bias, standard rel-pos index). Training opts in via
+        # pallas_train (custom VJP; gradient-verified); a block joins only
+        # if its backward kernel fits scoped VMEM — the flagship's stage 4
+        # (c=384, 24 heads) does not (25.14M vs the 16M limit) and keeps
+        # the XLA backward, which is cheap there (8 windows).
+        if not deterministic and self.pallas_train:
+            from medicalsemseg_tpu.ops.pallas.window_attention import (
+                pallas_train_fits)
+            train_fuse = (self.attn_drop == 0.0 and self.drop == 0.0
+                          and pallas_train_fits(c, self.num_heads, ws))
+        else:
+            train_fuse = False
         fuse = (self.use_pallas and not self.global_token
                 and not self.rel_pos_bias_affine
                 and not self.ref_quirk_index
-                and (deterministic or (self.pallas_train
-                                       and self.attn_drop == 0.0
-                                       and self.drop == 0.0)))
+                and (deterministic or train_fuse))
         if fuse:
             xn, gt = attn(None, gt=gt, deterministic=deterministic,
                           x_volume=xn, shift_size=ss)

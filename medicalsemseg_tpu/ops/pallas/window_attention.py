@@ -188,6 +188,40 @@ def fused_window_attention(
     return window_reverse(out, ws, (d, h, w))
 
 
+def pallas_train_bwd_vmem_bytes(c: int, num_heads: int, window_size: int,
+                                windows_per_block: int = 8) -> int:
+    """Scoped-VMEM estimate for the backward kernel at one block shape.
+
+    Calibrated against the AOT compiler's report for the flagship stage-4
+    shape (c=384, nh=24, n=216): estimate ~23.5M vs reported 25.14M against
+    a 16M scoped limit. Dominant terms: the three (nh, N, N) fp32 buffers
+    (rel-pos bias in, dbias out, bacc scratch) and the flat weight-grad
+    accumulator."""
+    n = window_size ** 3
+    bias_bytes = num_heads * n * n * 4
+    per_win = n * 3 * c * 6 + 2 * n * n * 6 + n * c * 12
+    wpb_fit = max(int((6 * 1024 * 1024 - 2 * bias_bytes)
+                      // max(per_win, 1)), 1)
+    wpb = max(min(windows_per_block, wpb_fit), 1)
+    return (3 * bias_bytes                # bias in + dbias out + bacc scratch
+            + (2 * c + 2) * 3 * c * 4    # wacc scratch
+            + c * 4 * c * 4              # dwqkv + dwproj outputs
+            + c * 4 * c * 2              # weight inputs (bf16)
+            + wpb * n * c * 12           # x/dy/dx tiles, double-buffered
+            + wpb * n * 3 * c * 6        # qkv fp32 + bf16 copy
+            + 4 * wpb * n * n * 4)       # live per-head attention temps
+
+
+def pallas_train_fits(c: int, num_heads: int, window_size: int,
+                      limit: int = 14 * 1024 * 1024) -> bool:
+    """Whether the custom-VJP backward kernel fits scoped VMEM (16M on v5e;
+    14M threshold leaves headroom for compiler temporaries). The flagship's
+    stage 4 (c=384, nh=24) does NOT fit — its blocks keep the XLA backward,
+    which is cheap there (8 windows); stages 1-3 (512/64/8 windows at
+    c=48/96/192) fit and carry virtually all the attention time."""
+    return pallas_train_bwd_vmem_bytes(c, num_heads, window_size) <= limit
+
+
 def _bwd_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bias_ref, dy_ref,
                 dx_ref, dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref,
                 dbias_ref, *, num_heads: int, wpb: int, shifted: bool,
