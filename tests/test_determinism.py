@@ -58,3 +58,28 @@ def test_loader_deterministic(tmp_path):
     np.testing.assert_array_equal(b1["label"], b2["label"])
     b3 = first_batch(6)
     assert not np.array_equal(b1["image"], b3["image"])  # seed changes crops
+
+
+def test_loader_worker_count_invariance(tmp_path):
+    """Batches must be BIT-IDENTICAL for any --n_workers_train value: worker
+    parallelism is a throughput knob, never a semantics knob (each batch has
+    its own (seed, epoch, batch)-seeded stream)."""
+    root, task = _write_decathlon(tmp_path, n=4, shape=(18, 20, 22))
+
+    def epoch_batches(workers):
+        cfg = Config(vol_size=16, t_fixed_ct_intensity=True, t_ct_min=-50,
+                     t_ct_max=150, t_rand_crop_fgbg=True, t_flip_prob=0.5,
+                     t_n_patches_per_image=2, n_images_per_batch=2,
+                     output_dim=3, data_path=root, task=task,
+                     n_workers_train=workers)
+        files = load_decathlon_datalist(f"{root}/{task}/dataset.json",
+                                        "training")
+        ds = CachedVolumeDataset(files, cfg)
+        loader = TrainLoader(ds, cfg, seed=3)
+        return list(loader.epoch(0))
+
+    solo, pooled = epoch_batches(1), epoch_batches(4)
+    assert len(solo) == len(pooled) == 2
+    for b1, b2 in zip(solo, pooled):
+        np.testing.assert_array_equal(b1["image"], b2["image"])
+        np.testing.assert_array_equal(b1["label"], b2["label"])
