@@ -372,23 +372,36 @@ def sliding_window_inference(
     valid_dev = jnp.asarray(valid_p.reshape(n_batches, sw))
 
     def gather_window(vol, s):
+        # channel-1 volumes are gathered rank-3: the (..., 1) trailing dim
+        # would put ONE of the TPU's 128 lanes to work on every slice pass
+        if c == 1:
+            return jax.lax.dynamic_slice(vol[..., 0], (s[0], s[1], s[2]),
+                                         roi)[..., None]
         return jax.lax.dynamic_slice(vol, (s[0], s[1], s[2], 0), roi + (c,))
+
+    # blending runs CLASS-MAJOR: the naive (D, H, W, n_classes) accumulator
+    # tiles its minor dim at n_classes(=14) of 128 lanes, and the per-window
+    # dynamic-update-slices measured 30 GB/s (115 ms/volume, profiled on the
+    # headline workload). With classes leading, the minor dims are spatial
+    # (tile-friendly) and the same updates run near memory speed. Identical
+    # arithmetic per element -> bit-identical results.
+    imap_cm = jnp.moveaxis(imap, -1, 0)  # (1, *roi)
 
     def run_batch_b(vol_b, aff_b, out_b, cnt_b, sbatch, cbatch, vbatch):
         """One sw-batch for one input volume (no batch dim)."""
         wins = jax.vmap(lambda s: gather_window(vol_b, s))(sbatch)  # (sw, *roi, c)
         aff_rep = jnp.broadcast_to(aff_b, (sw, 3))
         probs = predictor((wins, cbatch, aff_rep))  # (sw, *roi, n_cls)
-        probs = probs.astype(jnp.float32)
+        probs = probs.astype(jnp.float32).transpose(0, 4, 1, 2, 3)
 
         def accumulate(i, carry):
             out, cnt = carry
             s = sbatch[i]
-            wgt = imap * vbatch[i]
-            idx = (s[0], s[1], s[2], 0)
-            nc = out.shape[-1]
-            cur_o = jax.lax.dynamic_slice(out, idx, roi + (nc,))
-            cur_c = jax.lax.dynamic_slice(cnt, idx, roi + (1,))
+            wgt = imap_cm * vbatch[i]
+            idx = (0, s[0], s[1], s[2])
+            nc = out.shape[0]
+            cur_o = jax.lax.dynamic_slice(out, idx, (nc,) + roi)
+            cur_c = jax.lax.dynamic_slice(cnt, idx, (1,) + roi)
             out = jax.lax.dynamic_update_slice(out, cur_o + wgt * probs[i], idx)
             cnt = jax.lax.dynamic_update_slice(cnt, cur_c + wgt, idx)
             return out, cnt
@@ -398,8 +411,8 @@ def sliding_window_inference(
     def infer_one(vol_b, aff_b):
         nc_probe = n_classes
         assert nc_probe is not None, "n_classes must be provided"
-        out0 = jnp.zeros(image_size + (nc_probe,), jnp.float32)
-        cnt0 = jnp.zeros(image_size + (1,), jnp.float32)
+        out0 = jnp.zeros((nc_probe,) + image_size, jnp.float32)
+        cnt0 = jnp.zeros((1,) + image_size, jnp.float32)
 
         def body(carry, batch_idx):
             out, cnt = carry
@@ -411,7 +424,7 @@ def sliding_window_inference(
 
         (out, cnt), _ = jax.lax.scan(body, (out0, cnt0),
                                      jnp.arange(n_batches))
-        return out / cnt
+        return jnp.moveaxis(out / cnt, 0, -1)
 
     # unrolled over the (static, tiny) volume batch instead of jax.vmap:
     # the vmapped batch dim infected every predictor intermediate as a
