@@ -27,7 +27,7 @@ from medicalsemseg_tpu.models.swin import SwinEncoder3D
 MODEL_NAMES = (
     "nnFormerUNETR", "SwInception", "SwinDepth", "SwinSegFormer",
     "SegFormer3D", "GCViTUNETR", "FocalNetUNETR", "UNETR_Official",
-    "nnFormer",
+    "nnFormer", "SwinUNETR_Official",
 )
 
 
@@ -179,6 +179,18 @@ def build_model(cfg: Config) -> nn.Module:
                      hidden_size=768, depth=12, num_heads=12,
                      patch_size=(16, 16, 16),
                      drop_path_rate=cfg.drop_path_rate, dtype=dtype)
+
+    if name == "SwinUNETR_Official":
+        # the vendored MONAI SwinUNETR (981 LoC dead in the reference,
+        # swin_unetr_official.py:32-295, SURVEY.md §2.2 row 33) as a working
+        # entry; fixed 7^3 windows, v1 PatchMerging quirk, load_from
+        # checkpoint surgery via utils/torch_import.import_swin_unetr_official
+        from medicalsemseg_tpu.models.swin_official import SwinUNETROfficial
+        return SwinUNETROfficial(
+            out_channels=cfg.output_dim, in_chans=cfg.in_chans,
+            feature_size=cfg.hidden_dim, depths=tuple(cfg.depths),
+            num_heads=tuple(cfg.num_heads),
+            drop_path_rate=cfg.drop_path_rate, dtype=dtype)
 
     raise ValueError(
         f"unknown model {name!r}; available: {', '.join(MODEL_NAMES)}")

@@ -268,6 +268,81 @@ def import_swin_unetr_checkpoint(state_dict: Dict, num_layers: int = 4) -> Dict:
     }
 
 
+def _official_block(sd: Dict, base: str) -> Dict:
+    """One official SwinTransformerBlock (swin_unetr_official.py:617-663
+    load_from key list) -> OfficialSwinBlock params."""
+    attn = {
+        "relative_position_bias_table": _np(
+            sd[f"{base}.attn.relative_position_bias_table"]),
+        "qkv": dense(sd, f"{base}.attn.qkv"),
+        "proj": dense(sd, f"{base}.attn.proj"),
+    }
+    return {
+        "norm1": layer_norm(sd, f"{base}.norm1"),
+        "norm2": layer_norm(sd, f"{base}.norm2"),
+        "attn": attn,
+        # SSL checkpoints name the MLP weights fc1/fc2; a trained model's
+        # own state_dict has the MLPBlock attribute names linear1/linear2
+        # (the reference load_from translates fc->linear,
+        # swin_unetr_official.py:646-650)
+        "mlp": {
+            "Dense_0": dense(sd, f"{base}.mlp.fc1"
+                             if f"{base}.mlp.fc1.weight" in sd
+                             else f"{base}.mlp.linear1"),
+            "Dense_1": dense(sd, f"{base}.mlp.fc2"
+                             if f"{base}.mlp.fc2.weight" in sd
+                             else f"{base}.mlp.linear2"),
+        },
+    }
+
+
+def import_swin_unetr_official(weights: Dict, depths=(2, 2, 2, 2)) -> Dict:
+    """MONAI SwinUNETR ``load_from`` surgery -> SwinViTOfficial param tree.
+
+    Accepts the SSL-pretrained checkpoint format the reference's load_from
+    consumes: ``weights['state_dict']['module.<...>']``
+    (reference: models/segmentors/swin_unetr_official.py:232-280). Covers
+    exactly what load_from covers: patch_embed, every block, every
+    downsample. Returns the {'swinViT': ...} subtree — merge over a model
+    init to keep the decoder randomly initialized, like the reference.
+    """
+    sd = weights.get("state_dict", weights)
+    sd = {k[len("module."):] if k.startswith("module.") else k: v
+          for k, v in sd.items()}
+    vit: Dict = {"patch_embed": {"Conv_0": conv(sd, "patch_embed.proj")}}
+    for k, depth in enumerate(depths):
+        for n in range(depth):
+            base = f"layers{k + 1}.0.blocks.{n}"
+            vit[f"layers{k + 1}_blocks{n}"] = _official_block(sd, base)
+        dbase = f"layers{k + 1}.0.downsample"
+        vit[f"layers{k + 1}_downsample"] = {
+            "norm": layer_norm(sd, f"{dbase}.norm"),
+            "reduction": {"kernel": _np(sd[f"{dbase}.reduction.weight"]).T},
+        }
+    return {"swinViT": vit}
+
+
+def import_swin_unetr_official_full(state_dict: Dict,
+                                    depths=(2, 2, 2, 2)) -> Dict:
+    """A COMPLETE official-SwinUNETR state_dict (encoder + MONAI decoder
+    blocks) -> SwinUNETROfficial param tree (for importing fully-trained
+    models rather than SSL encoders)."""
+    sd = _strip_module_prefix(state_dict)
+    vit_sd = {k[len("swinViT."):]: v for k, v in sd.items()
+              if k.startswith("swinViT.")}
+    params = import_swin_unetr_official({"state_dict": vit_sd}, depths)
+    for name in ["encoder1", "encoder2", "encoder3", "encoder4", "encoder10"]:
+        params[name] = _res_block(sd, f"{name}.layer")
+    for name in ["decoder1", "decoder2", "decoder3", "decoder4", "decoder5"]:
+        params[name] = {
+            "transp_conv": {"ConvTranspose_0": conv_transpose(
+                sd, f"{name}.transp_conv.conv")},
+            "conv_block": _res_block(sd, f"{name}.conv_block"),
+        }
+    params["out"] = {"conv": {"Conv_0": conv(sd, "out.conv.conv")}}
+    return params
+
+
 def load_reference_pth(path: str) -> Dict:
     """torch.load a reference checkpoint file and return the model state_dict."""
     import torch

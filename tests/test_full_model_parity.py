@@ -130,21 +130,60 @@ def _install_functional_monai_stub():
     blocks = mod("monai.networks.blocks")
     unetr_block = mod("monai.networks.blocks.unetr_block")
     dynunet_block = mod("monai.networks.blocks.dynunet_block")
+    layers_mod = mod("monai.networks.layers")
     utils_mod = mod("monai.utils")
 
     unetr_block.UnetrBasicBlock = UnetrBasicBlock
     unetr_block.UnetrUpBlock = UnetrUpBlock
     dynunet_block.UnetOutBlock = UnetOutBlock
+    # top-level re-exports (swin_unetr_official.py imports from the package)
+    blocks.UnetrBasicBlock = UnetrBasicBlock
+    blocks.UnetrUpBlock = UnetrUpBlock
+    blocks.UnetOutBlock = UnetOutBlock
     utils_mod.ensure_tuple_rep = (
         lambda v, n: tuple(v) if isinstance(v, (tuple, list)) else (v,) * n)
+
+    def optional_import(module, name="", **kw):
+        import importlib
+
+        m = importlib.import_module(module)
+        if name:
+            return getattr(m, name), True
+        return m, True
+
+    utils_mod.optional_import = optional_import
+    utils_mod.look_up_option = lambda v, allowed: v
+
+    class _ConvFactory:
+        CONV = "conv"
+        CONVTRANS = "convtrans"
+
+        def __getitem__(self, key):
+            kind, dims = key
+            table = {("conv", 3): nn.Conv3d, ("conv", 2): nn.Conv2d,
+                     ("convtrans", 3): nn.ConvTranspose3d,
+                     ("convtrans", 2): nn.ConvTranspose2d}
+            return table[(str(kind), int(dims))]
+
+    layers_mod.Conv = _ConvFactory()
+
+    def get_act_layer(act):
+        name = act[0] if isinstance(act, (tuple, list)) else act
+        table = {"GELU": nn.GELU, "RELU": nn.ReLU,
+                 "LEAKYRELU": lambda: nn.LeakyReLU(0.01, inplace=True)}
+        return table[str(name).upper()]()
+
+    layers_mod.get_act_layer = get_act_layer
     blocks.unetr_block = unetr_block
     blocks.dynunet_block = dynunet_block
     networks.blocks = blocks
+    networks.layers = layers_mod
     monai.networks = networks
     monai.utils = utils_mod
 
-    # drop any previously-imported reference segmentor bound to older stubs
+    # drop any previously-imported reference segmentors bound to older stubs
     sys.modules.pop("models.segmentors.swin_unetr", None)
+    sys.modules.pop("models.segmentors.swin_unetr_official", None)
 
 
 def _build_reference_full_model(size: int, embed_dim: int, depths, heads,
