@@ -21,7 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from medicalsemseg_tpu.models.layers import LayerNorm, trunc_normal_init
+from medicalsemseg_tpu.models.layers import (BatchNorm, Conv3d, InstanceNorm,
+                                             LayerNorm, trunc_normal_init)
 
 Dtype = Any
 
@@ -100,6 +101,117 @@ class PatchEmbed3D(nn.Module):
             x = jnp.pad(x, pads)
         x = nn.Conv(self.embed_dim, kernel_size=p, strides=p, padding="VALID",
                     dtype=self.dtype)(x)
+        if self.use_norm:
+            x = LayerNorm(dtype=self.dtype)(x)
+        return x
+
+
+class _ConvNormAct(nn.Module):
+    """conv3 -> norm -> lrelu, the MONAI ``UnetBasicBlock`` half-step used by
+    PatchEmbedDeep (reference: models/blocks/patch_embeddings.py:150-168,
+    UnetrBasicBlock(res_block=False) with norm_name='batch')."""
+
+    out_channels: int
+    norm: str = "batch"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        y = Conv3d(self.out_channels, (3, 3, 3), use_bias=False,
+                   dtype=self.dtype, name="conv")(x)
+        if self.norm == "batch":
+            y = BatchNorm(use_running_average=deterministic,
+                          dtype=self.dtype, name="norm")(y)
+        else:
+            y = InstanceNorm(dtype=self.dtype, name="norm")(y)
+        return nn.leaky_relu(y, negative_slope=0.01)
+
+
+class PatchEmbedDeep(nn.Module):
+    """Two conv-norm-lrelu blocks then a k=s=patch projection.
+
+    (B, D, H, W, Cin) -> (B, D/p, H/p, W/p, embed_dim); channels ramp
+    Cin -> dim/4 -> dim/2 -> dim.  (reference:
+    models/blocks/patch_embeddings.py:135-199, ``UnetBasicBlock`` expanded to
+    its two conv-norm-act halves.)
+    """
+
+    patch_size: Tuple[int, int, int]
+    embed_dim: int
+    use_norm: bool = True
+    norm_name: str = "batch"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        p = self.patch_size
+        pads = [(0, 0)] + [(0, (-x.shape[1 + i]) % p[i]) for i in range(3)] + [(0, 0)]
+        if any(pp != (0, 0) for pp in pads):
+            x = jnp.pad(x, pads)
+        # UnetBasicBlock == two conv-norm-act stages at the same width
+        x = _ConvNormAct(self.embed_dim // 4, self.norm_name, self.dtype,
+                         name="block1a")(x, deterministic)
+        x = _ConvNormAct(self.embed_dim // 4, self.norm_name, self.dtype,
+                         name="block1b")(x, deterministic)
+        x = _ConvNormAct(self.embed_dim // 2, self.norm_name, self.dtype,
+                         name="block2a")(x, deterministic)
+        x = _ConvNormAct(self.embed_dim // 2, self.norm_name, self.dtype,
+                         name="block2b")(x, deterministic)
+        x = nn.Conv(self.embed_dim, kernel_size=p, strides=p, padding="VALID",
+                    dtype=self.dtype, name="proj")(x)
+        if self.use_norm:
+            x = LayerNorm(dtype=self.dtype)(x)
+        return x
+
+
+class PatchEmbedGlobal(nn.Module):
+    """Whole volume -> ONE global token via two k2/s2 downsampling convs and a
+    volume-sized projection (reference: models/blocks/patch_embeddings.py:202-230).
+
+    (B, D, H, W, Cin) -> (B, 1, 1, 1, embed_dim)
+    """
+
+    vol_size: Tuple[int, int, int]
+    embed_dim: int
+    use_norm: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        x = nn.Conv(cin * 2, kernel_size=(2, 2, 2), strides=(2, 2, 2),
+                    padding="VALID", dtype=self.dtype, name="down1")(x)
+        x = nn.Conv(cin * 4, kernel_size=(2, 2, 2), strides=(2, 2, 2),
+                    padding="VALID", dtype=self.dtype, name="down2")(x)
+        k = tuple(v // 4 for v in self.vol_size)
+        x = nn.Conv(self.embed_dim, kernel_size=k, strides=k, padding="VALID",
+                    dtype=self.dtype, name="proj")(x)
+        if self.use_norm:
+            x = LayerNorm(dtype=self.dtype)(x)
+        return x
+
+
+class PatchEmbedRegion(nn.Module):
+    """Volume -> coarse region tokens: one k2/s2 downsampling conv then a
+    half-region-sized projection (reference:
+    models/blocks/patch_embeddings.py:233-259).
+
+    (B, D, H, W, Cin) -> (B, D/r, H/r, W/r, embed_dim) for region size r.
+    """
+
+    region_size: Tuple[int, int, int]
+    embed_dim: int
+    use_norm: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        x = nn.Conv(cin * 2, kernel_size=(2, 2, 2), strides=(2, 2, 2),
+                    padding="VALID", dtype=self.dtype, name="down")(x)
+        k = tuple(v // 2 for v in self.region_size)
+        x = nn.Conv(self.embed_dim, kernel_size=k, strides=k, padding="VALID",
+                    dtype=self.dtype, name="proj")(x)
         if self.use_norm:
             x = LayerNorm(dtype=self.dtype)(x)
         return x

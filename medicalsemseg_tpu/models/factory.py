@@ -27,7 +27,7 @@ from medicalsemseg_tpu.models.swin import SwinEncoder3D
 MODEL_NAMES = (
     "nnFormerUNETR", "SwInception", "SwinDepth", "SwinSegFormer",
     "SegFormer3D", "GCViTUNETR", "FocalNetUNETR", "UNETR_Official",
-    "nnFormer", "SwinUNETR_Official",
+    "nnFormer", "SwinUNETR_Official", "LRGFormerUNETR",
 )
 
 
@@ -191,6 +191,24 @@ def build_model(cfg: Config) -> nn.Module:
             feature_size=cfg.hidden_dim, depths=tuple(cfg.depths),
             num_heads=tuple(cfg.num_heads),
             drop_path_rate=cfg.drop_path_rate, dtype=dtype)
+
+    if name == "LRGFormerUNETR":
+        # local/region/global joint-attention encoder (broken-dead upstream,
+        # lrgformer.py:184-304, SURVEY.md §2.2 row 36) repaired into a working
+        # entry; local tokens at 2x the usual patch stride to keep the
+        # reference's ~14k-token budget (see models/lrgformer.py docstring)
+        from medicalsemseg_tpu.models.lrgformer import LRGFormer3D
+        lrg_patch = tuple(2 * p for p in cfg.patch_size3())
+        encoder = LRGFormer3D(
+            patch_size=lrg_patch, in_chans=cfg.in_chans,
+            embed_dim=cfg.hidden_dim, depths=tuple(cfg.depths),
+            num_heads=tuple(cfg.num_heads), mlp_ratio=cfg.mlp_ratio,
+            qkv_bias=cfg.qkv_bias, drop_path_rate=cfg.drop_path_rate,
+            dtype=dtype)
+        return SwinUNETRCustom(
+            encoder=encoder, out_channels=cfg.output_dim,
+            hidden_size=cfg.hidden_dim, patch_size=lrg_patch,
+            remat=cfg.remat, dtype=dtype)
 
     raise ValueError(
         f"unknown model {name!r}; available: {', '.join(MODEL_NAMES)}")
