@@ -27,7 +27,7 @@ from medicalsemseg_tpu.models.swin import SwinEncoder3D
 MODEL_NAMES = (
     "nnFormerUNETR", "SwInception", "SwinDepth", "SwinSegFormer",
     "SegFormer3D", "GCViTUNETR", "FocalNetUNETR", "UNETR_Official",
-    "nnFormer", "SwinUNETR_Official", "LRGFormerUNETR",
+    "nnFormer", "SwinUNETR_Official", "LRGFormerUNETR", "VideoSwinUNETR",
 )
 
 
@@ -208,6 +208,24 @@ def build_model(cfg: Config) -> nn.Module:
         return SwinUNETRCustom(
             encoder=encoder, out_channels=cfg.output_dim,
             hidden_size=cfg.hidden_dim, patch_size=lrg_patch,
+            remat=cfg.remat, dtype=dtype)
+
+    if name == "VideoSwinUNETR":
+        # Video-Swin 3D backbone (vendored-dead upstream, swin_3d.py:470-708,
+        # SURVEY.md §2.2 row 34) wired through the standard UNETR decoder;
+        # anisotropic windows available on the module (models/video_swin.py)
+        from medicalsemseg_tpu.models.video_swin import VideoSwin3D
+        w = cfg.window_sizes()[0]
+        encoder = VideoSwin3D(
+            in_chans=cfg.in_chans, embed_dim=cfg.hidden_dim,
+            depths=tuple(cfg.depths), num_heads=tuple(cfg.num_heads),
+            window=(w, w, w), patch_size=cfg.patch_size3(),
+            mlp_ratio=cfg.mlp_ratio, qkv_bias=cfg.qkv_bias,
+            drop_path_rate=cfg.drop_path_rate, ape=cfg.abs_pos_emb,
+            dtype=dtype)
+        return SwinUNETRCustom(
+            encoder=encoder, out_channels=cfg.output_dim,
+            hidden_size=cfg.hidden_dim, patch_size=cfg.patch_size3(),
             remat=cfg.remat, dtype=dtype)
 
     raise ValueError(

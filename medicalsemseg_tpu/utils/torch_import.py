@@ -343,6 +343,40 @@ def import_swin_unetr_official_full(state_dict: Dict,
     return params
 
 
+def import_video_swin(state_dict: Dict, depths=(2, 2, 2, 2),
+                      grid=None) -> Dict:
+    """Video-Swin ``SwinTransformer3D`` state_dict (reference:
+    models/backbones/swin_3d.py:470-708) -> VideoSwin3D param tree.
+
+    Key map: ``patch_embed.proj`` -> patch_embed conv, ``patch_embed.norm``
+    -> patch_norm, ``layers.{k}.blocks.{i}.*`` -> ``layers_{k}_blocks_{i}``
+    (same block layout as the MONAI-official swin, so ``_official_block``
+    is shared), ``layers.{k}.downsample.{norm,reduction}`` ->
+    ``layers_{k}_downsample``. The reference's flat ``absolute_pos_embed``
+    (1, num_patches, C) is reshaped onto the (d, h, w) patch ``grid``
+    (the reference's own ape add is shape-broken — swin_3d.py:700 adds the
+    flat table to a channels-first 5-D map — so grid-major order is the
+    only sane interpretation)."""
+    sd = _strip_module_prefix(state_dict)
+    params: Dict = {"patch_embed": conv(sd, "patch_embed.proj")}
+    if "patch_embed.norm.weight" in sd:
+        params["patch_norm"] = layer_norm(sd, "patch_embed.norm")
+    if "absolute_pos_embed" in sd:
+        ape = _np(sd["absolute_pos_embed"])  # (1, N, C)
+        d, h, w = grid
+        params["absolute_pos_embed"] = ape.reshape(1, d, h, w, ape.shape[-1])
+    for k, depth in enumerate(depths):
+        for i in range(depth):
+            params[f"layers_{k}_blocks_{i}"] = _official_block(
+                sd, f"layers.{k}.blocks.{i}")
+        dbase = f"layers.{k}.downsample"
+        params[f"layers_{k}_downsample"] = {
+            "norm": layer_norm(sd, f"{dbase}.norm"),
+            "reduction": {"kernel": _np(sd[f"{dbase}.reduction.weight"]).T},
+        }
+    return params
+
+
 def load_reference_pth(path: str) -> Dict:
     """torch.load a reference checkpoint file and return the model state_dict."""
     import torch

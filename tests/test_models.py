@@ -122,6 +122,14 @@ def test_focalnet_forward_shape():
     assert bool(jnp.isfinite(out).all())
 
 
+def test_video_swin_unetr_forward_shape():
+    cfg = tiny_cfg(model="VideoSwinUNETR")
+    model = build_model(cfg)
+    out = init_and_apply(model, make_inputs(cfg))
+    assert out.shape == (1, 32, 32, 32, 3)
+    assert bool(jnp.isfinite(out).all())
+
+
 def test_unknown_model_raises():
     with pytest.raises(ValueError):
         build_model(tiny_cfg(model="LRGFormer"))
