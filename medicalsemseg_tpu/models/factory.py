@@ -28,6 +28,7 @@ MODEL_NAMES = (
     "nnFormerUNETR", "SwInception", "SwinDepth", "SwinSegFormer",
     "SegFormer3D", "GCViTUNETR", "FocalNetUNETR", "UNETR_Official",
     "nnFormer", "SwinUNETR_Official", "LRGFormerUNETR", "VideoSwinUNETR",
+    "Swin2D",
 )
 
 
@@ -227,6 +228,24 @@ def build_model(cfg: Config) -> nn.Module:
             encoder=encoder, out_channels=cfg.output_dim,
             hidden_size=cfg.hidden_dim, patch_size=cfg.patch_size3(),
             remat=cfg.remat, dtype=dtype)
+
+    if name == "Swin2D":
+        # the --input_dim 2 path, functional here (the reference parses the
+        # flag, utils/arguments.py:42, but never consumes it, and its
+        # vendored swin_2d.py backbone is never built): vanilla 2D Swin
+        # pyramid + linear-fuse segmentation head over (B, H, W, Cin) images
+        if cfg.input_dim != 2:
+            raise ValueError("--model Swin2D requires --input_dim 2")
+        from medicalsemseg_tpu.models.swin2d import Swin2DSeg
+        return Swin2DSeg(
+            num_classes=cfg.output_dim, in_chans=cfg.in_chans,
+            embed_dim=cfg.hidden_dim, depths=tuple(cfg.depths),
+            num_heads=tuple(cfg.num_heads),
+            window_size=cfg.window_sizes()[0],
+            patch_size=(cfg.patch_size3()[0]
+                        if cfg.patch_size3()[0] > 1 else 4),
+            mlp_ratio=cfg.mlp_ratio, qkv_bias=cfg.qkv_bias,
+            drop_path_rate=cfg.drop_path_rate, dtype=dtype)
 
     raise ValueError(
         f"unknown model {name!r}; available: {', '.join(MODEL_NAMES)}")
