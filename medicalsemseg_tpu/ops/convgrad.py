@@ -17,6 +17,18 @@ HBM-bound on the repeated x reads).
 The input gradient keeps XLA's lowering (correlation with the spatially
 flipped, in/out-transposed kernel — efficient already), and the forward is
 the unchanged lax.conv_general_dilated.
+
+Round-3 extension: when a gradient IS being taken (custom_vjp fwd/bwd), the
+forward and input-gradient can also run as 27 tap dots. Alone the dot
+forward loses to XLA's conv emitter (9.26 vs 5.09 ms at 96^3 48->48 bf16),
+but in the fwd+bwd graph XLA shares the padded-slice reads between the
+forward taps and the dW taps, and the whole train triple measures 12.04 ms
+vs 15.31 native / ~14.4 for the round-2 hybrid (tools/bench_conv3d.py
+--grad). The custom_vjp PRIMAL keeps lax.conv_general_dilated, so
+inference — which never calls the vjp — is untouched. Gated by the same
+voxel bound as the dW decomposition (HBM-bound above ~1.5M voxels) and by
+MEDSEG_DOTS27_TRAIN (default OFF until the flagship-step A/B on real TPU
+confirms the microbench win end-to-end).
 """
 
 from __future__ import annotations
@@ -59,6 +71,37 @@ def _dw27_single(x: jnp.ndarray, dy: jnp.ndarray) -> jnp.ndarray:
 # decomposition applies only to single-crop-sized gradients
 _DW27_MAX_VOXELS = 1_500_000
 
+import os as _os
+
+# dots27 train formulation (see module docstring); measured A/B on the
+# flagship step before flipping the default
+_DOTS27_TRAIN = _os.environ.get("MEDSEG_DOTS27_TRAIN", "0") != "0"
+
+
+def _conv_via_dots27(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """The same SAME/stride-1 3^3 conv as 27 tap matmuls on slices of the
+    padded input (accumulation in x.dtype, matching tools/bench_conv3d.py's
+    measured formulation)."""
+    b, d, h, ww, c = x.shape
+    co = w.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+    y = None
+    for kd in range(3):
+        for kh in range(3):
+            for kw in range(3):
+                xs = lax.dynamic_slice(xp, (0, kd, kh, kw, 0),
+                                       (b, d, h, ww, c))
+                t = lax.dot_general(xs.reshape(-1, c), w[kd, kh, kw],
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=x.dtype)
+                y = t if y is None else y + t
+    return y.reshape(b, d, h, ww, co)
+
+
+def _use_dots27(x: jnp.ndarray) -> bool:
+    return (_DOTS27_TRAIN
+            and int(np.prod(x.shape[:-1])) <= _DW27_MAX_VOXELS)
+
 
 def _dw27(x: jnp.ndarray, dy: jnp.ndarray) -> jnp.ndarray:
     """Weight gradient: tap decomposition for single-crop-sized inputs,
@@ -80,6 +123,11 @@ def conv3x3x3_s1(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
 
 
 def _vjp_fwd(x, w):
+    # under a gradient, the dot forward lets XLA share the padded-slice
+    # reads with the dW taps (module docstring); the primal (inference)
+    # path above keeps the native conv emitter
+    if _use_dots27(x):
+        return _conv_via_dots27(x, w), (x, w)
     return _conv(x, w), (x, w)
 
 
@@ -87,7 +135,10 @@ def _vjp_bwd(res, dy):
     x, w = res
     dy = dy.astype(x.dtype)
     w_t = jnp.flip(w, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
-    dx = _conv(dy, w_t.astype(x.dtype))
+    if _use_dots27(x):
+        dx = _conv_via_dots27(dy, w_t.astype(x.dtype))
+    else:
+        dx = _conv(dy, w_t.astype(x.dtype))
     dw = _dw27(x, dy)
     return dx.astype(x.dtype), dw.astype(w.dtype)
 

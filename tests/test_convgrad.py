@@ -39,6 +39,35 @@ def test_gradients_match_autodiff():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_dots27_train_formulation_matches_autodiff(monkeypatch):
+    """With the dots27 train formulation forced on, forward-under-grad and
+    both gradients must still match XLA autodiff through the native conv."""
+    from medicalsemseg_tpu.ops import convgrad
+
+    monkeypatch.setattr(convgrad, "_DOTS27_TRAIN", True)
+    x = _rand((2, 4, 5, 6, 3), seed=13)
+    w = _rand((3, 3, 3, 3, 5), seed=14, scale=0.2)
+    cot = _rand((2, 4, 5, 6, 5), seed=15)
+
+    def loss(fn, x, w):
+        return (fn(x, w) * cot).sum()
+
+    # value_and_grad exercises the dots27 fwd (the vjp fwd rule), not the
+    # primal: both must agree with the native conv
+    (v, (gx, gw)) = jax.value_and_grad(
+        lambda a, b: loss(conv3x3x3_s1, a, b), (0, 1))(x, w)
+    (rv, (rx, rw)) = jax.value_and_grad(
+        lambda a, b: loss(_conv, a, b), (0, 1))(x, w)
+    np.testing.assert_allclose(float(v), float(rv), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(rw),
+                               rtol=1e-4, atol=1e-5)
+    # the primal (no-grad) path keeps the native conv result exactly
+    np.testing.assert_allclose(np.asarray(conv3x3x3_s1(x, w)),
+                               np.asarray(_conv(x, w)), rtol=2e-5, atol=2e-5)
+
+
 def test_conv3d_param_tree_unchanged():
     """The fast path must produce the same params as nn.Conv (Conv_0/kernel,
     Conv_0/bias) and the same outputs given those params."""
