@@ -99,7 +99,11 @@ def _conv_via_dots27(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
 
 
 def _use_dots27(x: jnp.ndarray) -> bool:
+    # per-call gate: the tap-dot contraction dim is the input's channel
+    # count, so skinny-channel convs (e.g. the C=1 stem) would degenerate to
+    # 27 rank-<16 outer products — those keep the native conv emitter
     return (_DOTS27_TRAIN
+            and x.shape[-1] >= 16
             and int(np.prod(x.shape[:-1])) <= _DW27_MAX_VOXELS)
 
 

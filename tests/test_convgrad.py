@@ -45,9 +45,14 @@ def test_dots27_train_formulation_matches_autodiff(monkeypatch):
     from medicalsemseg_tpu.ops import convgrad
 
     monkeypatch.setattr(convgrad, "_DOTS27_TRAIN", True)
-    x = _rand((2, 4, 5, 6, 3), seed=13)
-    w = _rand((3, 3, 3, 3, 5), seed=14, scale=0.2)
-    cot = _rand((2, 4, 5, 6, 5), seed=15)
+    # channels >= 16 on both sides so fwd AND dx take the dots27 path
+    # (the per-call channel gate keeps skinny-channel convs on the native
+    # emitter); the gate itself is asserted here
+    x = _rand((2, 4, 5, 6, 16), seed=13)
+    w = _rand((3, 3, 3, 16, 16), seed=14, scale=0.2)
+    cot = _rand((2, 4, 5, 6, 16), seed=15)
+    assert convgrad._use_dots27(x)
+    assert not convgrad._use_dots27(_rand((1, 4, 4, 4, 1)))
 
     def loss(fn, x, w):
         return (fn(x, w) * cot).sum()
