@@ -77,6 +77,11 @@ import os as _os
 # flagship step before flipping the default
 _DOTS27_TRAIN = _os.environ.get("MEDSEG_DOTS27_TRAIN", "0") != "0"
 
+# Winograd F(4^3,3^3) inference formulation (ops/winograd.py): 8x less MXU
+# work on the PE-bound decoder convs; PRIMAL path only (training gradients
+# keep their own measured-fastest formulations below). A/B-gated like dots27.
+_WINOGRAD_INFER = _os.environ.get("MEDSEG_WINOGRAD", "0") != "0"
+
 
 def _conv_via_dots27(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """The same SAME/stride-1 3^3 conv as 27 tap matmuls on slices of the
@@ -122,7 +127,29 @@ def _dw27(x: jnp.ndarray, dy: jnp.ndarray) -> jnp.ndarray:
 def conv3x3x3_s1(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """SAME, stride-1, channels-last 3x3x3 conv: x (B,D,H,W,C) * w
     (3,3,3,C,Co) -> (B,D,H,W,Co). Forward and dx are XLA convolutions; dW is
-    the 27-tap dot decomposition above."""
+    the 27-tap dot decomposition above. The no-gradient PRIMAL (inference)
+    can route through Winograd F(4^3,3^3) — see _WINOGRAD_INFER."""
+    if _WINOGRAD_INFER:
+        if x.dtype == jnp.float32:
+            # F(4,3) is fp32-only: bf16 V/M loses the inverse-transform
+            # cancellations (measured 0.36 max rel err — ops/winograd.py);
+            # the fp32 direct conv it replaces runs the MXU in multi-pass
+            # mode, so the 8x FLOP cut wins despite the XLA-level V/M traffic
+            from medicalsemseg_tpu.ops.winograd import (
+                winograd_applicable, winograd_conv3d_f43)
+            if winograd_applicable(tuple(x.shape[1:4]), x.shape[-1]):
+                return winograd_conv3d_f43(x, w.astype(jnp.float32),
+                                           mm_dtype=jnp.float32)
+        elif x.dtype == jnp.bfloat16:
+            # bf16 takes the fused F(2,3) Pallas kernel (VMEM-resident V/M,
+            # bf16-exact transform coefficients)
+            import jax as _jax
+            from medicalsemseg_tpu.ops.pallas.winograd3d import (
+                winograd_conv3d_f23, winograd_f23_applicable)
+            if (_jax.default_backend() != "cpu"
+                    and winograd_f23_applicable(tuple(x.shape[1:4]),
+                                                x.shape[-1])):
+                return winograd_conv3d_f23(x, w.astype(jnp.float32))
     return _conv(x, w)
 
 
