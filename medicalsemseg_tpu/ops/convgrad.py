@@ -82,6 +82,29 @@ _DOTS27_TRAIN = _os.environ.get("MEDSEG_DOTS27_TRAIN", "0") != "0"
 # keep their own measured-fastest formulations below). A/B-gated like dots27.
 _WINOGRAD_INFER = _os.environ.get("MEDSEG_WINOGRAD", "0") != "0"
 
+# Winograd F(2,3) in the TRAIN direction: the custom_vjp's forward value and
+# the backward's dx are themselves plain 3^3 convs, so both can run through
+# the fused kernel (no autodiff ever traces through it). dW keeps the tap
+# decomposition. A/B-gated separately — kernels inside large backward graphs
+# have tripped this pod's AOT compiler before (NOTES.md pallas_train saga).
+_WINOGRAD_TRAIN = _os.environ.get("MEDSEG_WINOGRAD_TRAIN", "0") != "0"
+
+
+def _wino23_eligible(x: jnp.ndarray) -> bool:
+    import jax as _jax
+    from medicalsemseg_tpu.ops.pallas import winograd3d as _w3
+
+    return (x.dtype == jnp.bfloat16
+            and (_jax.default_backend() != "cpu" or _w3._FORCE_INTERPRET)
+            and _w3.winograd_f23_applicable(tuple(x.shape[1:4]),
+                                            x.shape[-1]))
+
+
+def _wino23(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    from medicalsemseg_tpu.ops.pallas.winograd3d import winograd_conv3d_f23
+
+    return winograd_conv3d_f23(x, w.astype(jnp.float32))
+
 
 def _conv_via_dots27(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """The same SAME/stride-1 3^3 conv as 27 tap matmuls on slices of the
@@ -157,6 +180,8 @@ def _vjp_fwd(x, w):
     # under a gradient, the dot forward lets XLA share the padded-slice
     # reads with the dW taps (module docstring); the primal (inference)
     # path above keeps the native conv emitter
+    if _WINOGRAD_TRAIN and _wino23_eligible(x):
+        return _wino23(x, w), (x, w)
     if _use_dots27(x):
         return _conv_via_dots27(x, w), (x, w)
     return _conv(x, w), (x, w)
@@ -166,7 +191,9 @@ def _vjp_bwd(res, dy):
     x, w = res
     dy = dy.astype(x.dtype)
     w_t = jnp.flip(w, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
-    if _use_dots27(x):
+    if _WINOGRAD_TRAIN and _wino23_eligible(dy):
+        dx = _wino23(dy, w_t)
+    elif _use_dots27(x):
         dx = _conv_via_dots27(dy, w_t.astype(x.dtype))
     else:
         dx = _conv(dy, w_t.astype(x.dtype))

@@ -172,6 +172,11 @@ def _kernel(xe_hbm, xo_hbm, w_ref, ye_ref, yo_ref, xe_v, xo_v, sems, *,
         ref[0] = blk.reshape(bd, bh, bwq, cout).astype(out_dtype)
 
 
+# test hook: CPU suites force interpret mode to exercise the kernel without
+# a TPU backend (monkeypatched; not an env knob)
+_FORCE_INTERPRET = False
+
+
 def winograd_conv3d_f23(x: jnp.ndarray, w: jnp.ndarray,
                         block_d: int = 4, block_h: int = 4,
                         interpret: bool = False) -> jnp.ndarray:
@@ -185,6 +190,7 @@ def winograd_conv3d_f23(x: jnp.ndarray, w: jnp.ndarray,
     assert d % block_d == 0 and h % block_h == 0, (d, h, block_d, block_h)
     assert wd % 2 == 0 and (wd // 2) % 8 == 0, wd
     bwq = wd // 2
+    interpret = interpret or _FORCE_INTERPRET
 
     wino_w = transform_weights_f23(w).astype(x.dtype)
 

@@ -102,6 +102,37 @@ def test_winograd_f23_applicable_gate():
     assert not winograd_f23_applicable((96, 96, 96), 1)
 
 
+def test_winograd_train_routing_matches_autodiff(monkeypatch):
+    """MEDSEG_WINOGRAD_TRAIN routes the vjp forward AND dx through the
+    F(2,3) kernel (interpret-forced on CPU); gradients must match XLA
+    autodiff through the native conv at bf16 tolerance."""
+    from medicalsemseg_tpu.ops import convgrad
+    from medicalsemseg_tpu.ops.pallas import winograd3d
+
+    monkeypatch.setattr(convgrad, "_WINOGRAD_TRAIN", True)
+    monkeypatch.setattr(winograd3d, "_FORCE_INTERPRET", True)
+    x = _rand((1, 8, 8, 16, 16), seed=12).astype(jnp.bfloat16)
+    w = _rand((3, 3, 3, 16, 16), seed=13, scale=0.2).astype(jnp.bfloat16)
+    cot = _rand((1, 8, 8, 16, 16), seed=14).astype(jnp.bfloat16)
+
+    def loss(fn, x, w):
+        return (fn(x, w).astype(jnp.float32) * cot.astype(jnp.float32)).sum()
+
+    (v, (gx, gw)) = jax.value_and_grad(
+        lambda a, b: loss(convgrad.conv3x3x3_s1, a, b), (0, 1))(x, w)
+    (rv, (rx, rw)) = jax.value_and_grad(
+        lambda a, b: loss(_conv, a, b), (0, 1))(x, w)
+    np.testing.assert_allclose(float(v), float(rv), rtol=2e-2)
+    rscale = float(jnp.abs(rx.astype(jnp.float32)).max())
+    np.testing.assert_allclose(np.asarray(gx.astype(jnp.float32)),
+                               np.asarray(rx.astype(jnp.float32)),
+                               atol=3e-2 * rscale)
+    wscale = float(jnp.abs(rw.astype(jnp.float32)).max())
+    np.testing.assert_allclose(np.asarray(gw.astype(jnp.float32)),
+                               np.asarray(rw.astype(jnp.float32)),
+                               atol=3e-2 * wscale)
+
+
 def test_winograd_primal_gate(monkeypatch):
     """With MEDSEG_WINOGRAD forced on, the conv3x3x3_s1 primal routes
     eligible shapes through Winograd and still matches the native conv."""
