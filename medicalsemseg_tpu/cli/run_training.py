@@ -55,6 +55,14 @@ class JsonlWriter:
 def main(cfg: Config) -> dict:
     from medicalsemseg_tpu.parallel.dist import init_distributed_mode
 
+    if cfg.input_dim != 3:
+        # the CLI data pipeline is volumetric (as in the reference, whose
+        # --input_dim is parsed but never consumed); the 2D Swin2D model
+        # trains through the library API (models/swin2d.py docstring)
+        raise ValueError(
+            "the CLI drivers feed 3D volumes only (--input_dim 3); for 2D "
+            "use the library API: build_model(cfg) with --model Swin2D")
+
     init_distributed_mode(cfg)  # multi-host rendezvous (no-op single-process)
     enable_compilation_cache()
     if cfg.anomaly_detection:

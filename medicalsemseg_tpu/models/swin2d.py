@@ -105,6 +105,7 @@ class WindowAttention2D(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask=None, deterministic: bool = True):
         b_, n, c = x.shape
+        assert c == self.dim, (c, self.dim)
         nh = self.num_heads
         hd = c // nh
         scale = hd ** -0.5
@@ -162,6 +163,7 @@ class SwinBlock2D(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True):
         b, h, w, c = x.shape
+        assert c == self.dim and (h, w) == tuple(self.input_resolution)
         ws, ss = self.window_size, self.shift_size
         if min(self.input_resolution) <= ws:
             ss, ws = 0, min(self.input_resolution)
@@ -184,13 +186,13 @@ class SwinBlock2D(nn.Module):
 
         x = shortcut + DropPath(self.drop_path_rate)(
             xn, deterministic=deterministic)
-        mlp_in = LayerNorm(dtype=self.dtype, name="norm2")(x)
+        # Mlp is rank-polymorphic (Dense over the last axis): stay 4D
         mlp_out = Mlp(hidden_dim=int(c * self.mlp_ratio), dropout=self.drop,
                       dtype=self.dtype, name="mlp")(
-                          mlp_in.reshape(b, h * w, c),
+                          LayerNorm(dtype=self.dtype, name="norm2")(x),
                           deterministic=deterministic)
         return x + DropPath(self.drop_path_rate)(
-            mlp_out.reshape(b, h, w, c), deterministic=deterministic)
+            mlp_out, deterministic=deterministic)
 
 
 class PatchMerging2D(nn.Module):
@@ -259,6 +261,9 @@ class SwinTransformer2D(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True,
                  features_only: bool = False):
+        assert x.shape[-1] == self.in_chans, (x.shape, self.in_chans)
+        assert x.shape[1] == x.shape[2] == self.img_size, (
+            x.shape, self.img_size)
         x = x.astype(self.dtype)
         x = PatchEmbed2D(patch_size=self.patch_size, embed_dim=self.embed_dim,
                          use_norm=self.patch_norm, dtype=self.dtype,
@@ -354,8 +359,8 @@ class Swin2DSeg(nn.Module):
         x = jnp.concatenate(fused[::-1], axis=-1)
         x = nn.Dense(self.head_dim, use_bias=False, dtype=self.dtype,
                      kernel_init=trunc_normal_init, name="linear_fuse")(x)
-        x = nn.LayerNorm(dtype=jnp.float32, name="fuse_norm")(x)
-        x = nn.relu(x).astype(self.dtype)
+        x = LayerNorm(dtype=self.dtype, name="fuse_norm")(x)
+        x = nn.relu(x)
         x = nn.Dense(self.num_classes, dtype=jnp.float32,
                      kernel_init=trunc_normal_init, name="linear_pred")(x)
         return jax.image.resize(x.astype(jnp.float32),

@@ -108,8 +108,10 @@ def _wino23(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
 
 def _conv_via_dots27(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """The same SAME/stride-1 3^3 conv as 27 tap matmuls on slices of the
-    padded input (accumulation in x.dtype, matching tools/bench_conv3d.py's
-    measured formulation)."""
+    padded input. The 27-tap sum accumulates in fp32 with ONE rounding to
+    x.dtype at the end — a bf16 tree-sum of bf16-rounded taps measures ~4x
+    the native conv's rounding (tests/test_convgrad.py), fp32 accumulation
+    matches it."""
     b, d, h, ww, c = x.shape
     co = w.shape[-1]
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
@@ -121,9 +123,9 @@ def _conv_via_dots27(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
                                        (b, d, h, ww, c))
                 t = lax.dot_general(xs.reshape(-1, c), w[kd, kh, kw],
                                     (((1,), (0,)), ((), ())),
-                                    preferred_element_type=x.dtype)
+                                    preferred_element_type=jnp.float32)
                 y = t if y is None else y + t
-    return y.reshape(b, d, h, ww, co)
+    return y.astype(x.dtype).reshape(b, d, h, ww, co)
 
 
 def _use_dots27(x: jnp.ndarray) -> bool:
@@ -163,16 +165,10 @@ def conv3x3x3_s1(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
             if winograd_applicable(tuple(x.shape[1:4]), x.shape[-1]):
                 return winograd_conv3d_f43(x, w.astype(jnp.float32),
                                            mm_dtype=jnp.float32)
-        elif x.dtype == jnp.bfloat16:
+        elif _wino23_eligible(x):
             # bf16 takes the fused F(2,3) Pallas kernel (VMEM-resident V/M,
             # bf16-exact transform coefficients)
-            import jax as _jax
-            from medicalsemseg_tpu.ops.pallas.winograd3d import (
-                winograd_conv3d_f23, winograd_f23_applicable)
-            if (_jax.default_backend() != "cpu"
-                    and winograd_f23_applicable(tuple(x.shape[1:4]),
-                                                x.shape[-1])):
-                return winograd_conv3d_f23(x, w.astype(jnp.float32))
+            return _wino23(x, w)
     return _conv(x, w)
 
 
@@ -191,9 +187,10 @@ def _vjp_bwd(res, dy):
     x, w = res
     dy = dy.astype(x.dtype)
     w_t = jnp.flip(w, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
+    # dx gates on DY: its tap dots contract over dy's channels (Co), not Cin
     if _WINOGRAD_TRAIN and _wino23_eligible(dy):
         dx = _wino23(dy, w_t)
-    elif _use_dots27(x):
+    elif _use_dots27(dy):
         dx = _conv_via_dots27(dy, w_t.astype(x.dtype))
     else:
         dx = _conv(dy, w_t.astype(x.dtype))

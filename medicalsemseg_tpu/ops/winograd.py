@@ -108,10 +108,10 @@ def winograd_conv3d_f43(x: jnp.ndarray, w: jnp.ndarray,
     wino_w = wino_w.reshape(216, c, co)
 
     # tile gather: xp[(4i+a, 4j+b, 4k+cc)] for a,b,cc in 6^3 as strided views.
-    # pad 1 (SAME halo) + 1 on the high side so the a=4..5 slices stay in
-    # range: slice [a : a + 4*t : 4] needs a + 4*(t-1) < D+2 -> pad to D+3.
+    # SAME halo pad of 1 suffices: the largest index read is a=5 at the last
+    # tile, 5 + 4*(t-1) = D+1, the final row of the (1,1)-padded array.
     xp = jnp.pad(x.astype(jnp.float32),
-                 ((0, 0), (1, 2), (1, 2), (1, 2), (0, 0)))
+                 ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
 
     def gather_axis(arr, axis, t):
         # (6, ...) stack of strided views along `axis`

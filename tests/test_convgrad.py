@@ -73,6 +73,52 @@ def test_dots27_train_formulation_matches_autodiff(monkeypatch):
                                np.asarray(_conv(x, w)), rtol=2e-5, atol=2e-5)
 
 
+def test_dots27_bf16_error_bounded(monkeypatch):
+    """The dots27 formulation accumulates its 27-tap sum in the compute
+    dtype (the measured-fastest form); at bf16 — the dtype the flag targets —
+    the extra rounding must stay the same order as the native bf16 conv's."""
+    from medicalsemseg_tpu.ops import convgrad
+
+    monkeypatch.setattr(convgrad, "_DOTS27_TRAIN", True)
+    x32 = _rand((1, 6, 6, 8, 32), seed=16)
+    w32 = _rand((3, 3, 3, 32, 32), seed=17, scale=0.2)
+    cot = _rand((1, 6, 6, 8, 32), seed=18)
+    ref = np.asarray(_conv(x32, w32))
+    scale = np.abs(ref).max()
+
+    x, w = x32.astype(jnp.bfloat16), w32.astype(jnp.bfloat16)
+    v, _ = jax.value_and_grad(
+        lambda a: (conv3x3x3_s1(a, w).astype(jnp.float32)
+                   * cot).sum())(x)
+    fwd_dots = np.asarray(jax.vjp(
+        lambda a: conv3x3x3_s1(a, w), x)[0].astype(jnp.float32))
+    fwd_native = np.asarray(_conv(x, w).astype(jnp.float32))
+
+    err_dots = np.abs(fwd_dots - ref).max() / scale
+    err_native = np.abs(fwd_native - ref).max() / scale
+    assert err_dots < 4 * max(err_native, 1e-3), (err_dots, err_native)
+    assert np.isfinite(float(v))
+
+
+def test_dots27_dx_gate_checks_dy_channels(monkeypatch):
+    """dx's tap dots contract over dy's channels: with Cin wide but Co
+    skinny, dx must keep the native emitter (gate on dy, not x) yet still
+    produce correct gradients."""
+    from medicalsemseg_tpu.ops import convgrad
+
+    monkeypatch.setattr(convgrad, "_DOTS27_TRAIN", True)
+    x = _rand((1, 4, 6, 8, 32), seed=19)
+    w = _rand((3, 3, 3, 32, 4), seed=20, scale=0.2)  # Co=4 < 16
+    cot = _rand((1, 4, 6, 8, 4), seed=21)
+    gx, gw = jax.grad(lambda a, b: (conv3x3x3_s1(a, b) * cot).sum(),
+                      (0, 1))(x, w)
+    rx, rw = jax.grad(lambda a, b: (_conv(a, b) * cot).sum(), (0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(rw),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_conv3d_param_tree_unchanged():
     """The fast path must produce the same params as nn.Conv (Conv_0/kernel,
     Conv_0/bias) and the same outputs given those params."""
