@@ -90,15 +90,43 @@ class Mlp(nn.Module):
         return x
 
 
+class _LNParams(nn.Module):
+    """scale/bias leaves under the child scope nn.LayerNorm used to own, so
+    the param tree (<parent>/LayerNorm_0/{scale,bias}) is unchanged."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        return scale, bias
+
+
 class LayerNorm(nn.Module):
-    """LayerNorm with fp32 statistics regardless of compute dtype."""
+    """LayerNorm with fp32 statistics regardless of compute dtype.
+
+    Computation replicates flax.linen.LayerNorm's fp32 fast-variance formula
+    (var = max(0, E[x^2] - E[x]^2)) bit-for-bit; params stay at
+    <name>/LayerNorm_0/{scale,bias}. ``params_only=True`` returns the raw
+    (scale, bias) so kernels can absorb the normalization
+    (ops/pallas/window_attention.py fused LN)."""
 
     epsilon: float = 1e-5
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        y = nn.LayerNorm(epsilon=self.epsilon, dtype=jnp.float32)(x)
+    def __call__(self, x: jnp.ndarray, params_only: bool = False):
+        scale, bias = _LNParams(x.shape[-1], name="LayerNorm_0")()
+        if params_only:
+            return scale, bias
+        xf = x.astype(jnp.float32)
+        mu = xf.mean(axis=-1, keepdims=True)
+        var = jnp.maximum(0.0, (xf * xf).mean(axis=-1, keepdims=True)
+                          - mu * mu)
+        y = (xf - mu) * (jax.lax.rsqrt(var + self.epsilon) * scale) + bias
         return y.astype(self.dtype)
 
 

@@ -108,7 +108,9 @@ class WindowAttention(nn.Module):
                  gt: Optional[jnp.ndarray] = None,
                  deterministic: bool = True,
                  x_volume: Optional[jnp.ndarray] = None,
-                 shift_size: int = 0):
+                 shift_size: int = 0,
+                 ln: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+                 residual: bool = False):
         nh = self.num_heads
         n_attn = int(np.prod(self.window_size))
 
@@ -122,13 +124,26 @@ class WindowAttention(nn.Module):
             # kernel over the (already padded/rolled) volume; the trainable
             # variant carries a custom VJP (flash-style recompute backward)
             from medicalsemseg_tpu.ops.pallas.window_attention import (
+                fused_window_attention,
                 fused_window_attention_trainable)
 
             bq = bqkv if bqkv is not None else jnp.zeros(
                 (3 * self.dim,), jnp.float32)
-            out_vol = fused_window_attention_trainable(
-                x_volume.astype(self.dtype), wqkv, bq, wproj, bproj,
-                rel_table, self.window_size[0], nh, shift_size)
+            if ln is not None or residual:
+                # inference-only absorbed form: x_volume is the RAW (rolled)
+                # volume; the kernel applies the block's pre-attention LN
+                # and/or adds the shortcut in VMEM (no standalone LN/add
+                # passes over HBM)
+                out_vol = fused_window_attention(
+                    x_volume.astype(self.dtype), wqkv, bq, wproj, bproj,
+                    rel_table, self.window_size[0], nh, shift_size,
+                    ln_scale=None if ln is None else ln[0],
+                    ln_bias=None if ln is None else ln[1],
+                    residual=residual)
+            else:
+                out_vol = fused_window_attention_trainable(
+                    x_volume.astype(self.dtype), wqkv, bq, wproj, bproj,
+                    rel_table, self.window_size[0], nh, shift_size)
             return out_vol, gt
 
         b_, n_tok, c = x.shape
@@ -239,14 +254,8 @@ class SwinBlock(nn.Module):
         b, d, h, w, c = x.shape
         ws, ss = resolve_window((d, h, w), self.window_size, self.shift_size)
 
-        shortcut = x
-        xn = LayerNorm(dtype=self.dtype)(x)
-        xn = pad_to_multiple(xn, (ws, ws, ws))
-        dp, hp, wp = xn.shape[1:4]
-
-        if ss > 0:
-            xn = jnp.roll(xn, shift=(-ss, -ss, -ss), axis=(1, 2, 3))
-
+        ln1 = LayerNorm(dtype=self.dtype)
+        dp, hp, wp = (v + (-v) % ws for v in (d, h, w))
         n_windows = (dp // ws) * (hp // ws) * (wp // ws)
 
         attn = WindowAttention(
@@ -275,22 +284,43 @@ class SwinBlock(nn.Module):
                 and not self.rel_pos_bias_affine
                 and not self.ref_quirk_index
                 and (deterministic or train_fuse))
-        if fuse:
-            xn, gt = attn(None, gt=gt, deterministic=deterministic,
-                          x_volume=xn, shift_size=ss)
+        # inference-only LN+residual absorption: valid when no window padding
+        # is needed (zero-padding RAW tokens would LN to `bias`, not 0) and
+        # DropPath is identity (deterministic). The kernel then computes
+        # x + attn(LN(x)) in one pass — the standalone LN and the shortcut
+        # add each saved a full HBM round-trip over the volume.
+        absorb = (fuse and deterministic and (dp, hp, wp) == (d, h, w)
+                  and x.dtype == self.dtype)
+        if absorb:
+            scale, bias = ln1(x, params_only=True)
+            xr = (jnp.roll(x, shift=(-ss, -ss, -ss), axis=(1, 2, 3))
+                  if ss > 0 else x)
+            xn, gt = attn(None, gt=gt, deterministic=True, x_volume=xr,
+                          shift_size=ss, ln=(scale, bias), residual=True)
+            x = (jnp.roll(xn, shift=(ss, ss, ss), axis=(1, 2, 3))
+                 if ss > 0 else xn)
         else:
-            mask = (shift_window_attn_mask((dp, hp, wp), ws, ss)
-                    if ss > 0 else None)
-            x_win = window_partition(xn, ws)  # (B*nW, ws³, C)
-            x_win, gt = attn(x_win, mask=mask, affine=affine, gt=gt,
-                             deterministic=deterministic)
-            xn = window_reverse(x_win, ws, (dp, hp, wp))
-        if ss > 0:
-            xn = jnp.roll(xn, shift=(ss, ss, ss), axis=(1, 2, 3))
-        if (dp, hp, wp) != (d, h, w):
-            xn = xn[:, :d, :h, :w, :]
-
-        x = shortcut + DropPath(self.drop_path_rate)(xn, deterministic=deterministic)
+            shortcut = x
+            xn = ln1(x)
+            xn = pad_to_multiple(xn, (ws, ws, ws))
+            if ss > 0:
+                xn = jnp.roll(xn, shift=(-ss, -ss, -ss), axis=(1, 2, 3))
+            if fuse:
+                xn, gt = attn(None, gt=gt, deterministic=deterministic,
+                              x_volume=xn, shift_size=ss)
+            else:
+                mask = (shift_window_attn_mask((dp, hp, wp), ws, ss)
+                        if ss > 0 else None)
+                x_win = window_partition(xn, ws)  # (B*nW, ws³, C)
+                x_win, gt = attn(x_win, mask=mask, affine=affine, gt=gt,
+                                 deterministic=deterministic)
+                xn = window_reverse(x_win, ws, (dp, hp, wp))
+            if ss > 0:
+                xn = jnp.roll(xn, shift=(ss, ss, ss), axis=(1, 2, 3))
+            if (dp, hp, wp) != (d, h, w):
+                xn = xn[:, :d, :h, :w, :]
+            x = shortcut + DropPath(self.drop_path_rate)(
+                xn, deterministic=deterministic)
 
         mlp_in = LayerNorm(dtype=self.dtype)(x).reshape(b, d * h * w, c)
         mlp = make_mlp(self.mlp_type, int(c * self.mlp_ratio), self.drop, self.dtype)

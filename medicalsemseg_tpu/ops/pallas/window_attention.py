@@ -80,14 +80,35 @@ def _window_mask(wpb: int, n: int, grid_dims: Tuple[int, int, int],
 
 def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref,
             out_ref, *, num_heads: int, wpb: int, shifted: bool,
-            grid_dims: Tuple[int, int, int], ws: int, ss: int):
-    """A tile of `wpb` windows: qkv -> per-head attention -> proj. All VMEM."""
+            grid_dims: Tuple[int, int, int], ws: int, ss: int,
+            ln_ref=None, ln_eps: float = 1e-5, residual: bool = False):
+    """A tile of `wpb` windows: [LN ->] qkv -> per-head attention -> proj
+    [-> +residual]. All VMEM.
+
+    With ln_ref (a (2, C) fp32 block: scale row 0, bias row 1) the kernel
+    absorbs the block's pre-attention LayerNorm — fp32 fast-variance stats
+    per token, matching flax.linen.LayerNorm — so the standalone LN pass
+    over the volume (one full HBM read+write) disappears. With residual the
+    kernel adds the RAW x tile to the projection output, absorbing the
+    block's shortcut add (valid because roll/partition are bijections:
+    adding in rolled-window coordinates then reversing equals reversing
+    then adding)."""
     n = x_ref.shape[1]
     c = x_ref.shape[-1]
     hd = c // num_heads
     scale = hd ** -0.5
 
-    xw = x_ref[:].reshape(wpb * n, c)
+    xr = x_ref[:]
+    if ln_ref is not None:
+        xf = xr.astype(jnp.float32)
+        mu = xf.mean(axis=-1, keepdims=True)
+        var = jnp.maximum(0.0, (xf * xf).mean(axis=-1, keepdims=True)
+                          - mu * mu)
+        xn = ((xf - mu) * (jax.lax.rsqrt(var + ln_eps) * ln_ref[0])
+              + ln_ref[1])
+        xw = xn.astype(x_ref.dtype).reshape(wpb * n, c)
+    else:
+        xw = xr.reshape(wpb * n, c)
     qkv = jnp.dot(xw, wqkv_ref[:], preferred_element_type=jnp.float32)
     qkv = (qkv + bqkv_ref[:]).astype(x_ref.dtype)
     qkv = qkv.reshape(wpb, n, 3 * c)
@@ -114,6 +135,9 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref,
     out = jnp.dot(out.reshape(wpb * n, c), wproj_ref[:],
                   preferred_element_type=jnp.float32)
     out = (out + bproj_ref[:]).astype(x_ref.dtype)
+    if residual:
+        # bf16 add of the raw tile, matching the module's shortcut + attn
+        out = out + xr.reshape(wpb * n, c)
     out_ref[:] = out.reshape(wpb, n, c)
 
 
@@ -129,24 +153,34 @@ def fused_window_attention(
     shift_size: int = 0,
     windows_per_block: int = 8,
     interpret: bool = False,
+    ln_scale: Optional[jnp.ndarray] = None,
+    ln_bias: Optional[jnp.ndarray] = None,
+    ln_eps: float = 1e-5,
+    residual: bool = False,
 ) -> jnp.ndarray:
     """x (B, D, H, W, C) -> attention output (B, D, H, W, C).
 
     D/H/W must be multiples of window_size (callers pad first, as the XLA
     path does). When shift_size > 0, x must already be cyclically rolled by
     -shift_size; the SW-MSA mask is derived in-kernel.
+
+    With ln_scale/ln_bias the kernel absorbs the block's pre-attention
+    LayerNorm (x is then the RAW volume); with residual=True it also absorbs
+    the shortcut add, returning x + attn(LN(x)) already combined.
     """
     b, d, h, w, c = x.shape
     ws = window_size
     n = ws ** 3
     grid_dims = (d // ws, h // ws, w // ws)
     total = b * int(np.prod(grid_dims))
+    ln = ln_scale is not None
 
     # fit the window tile into scoped VMEM (16 MB limit): the rel-pos bias is
     # shared; per window the working set is qkv (fp32 + bf16 copies), two
     # live (N, N) attention buffers (fp32 + bf16), and x/out/proj tiles
+    # (+ the fp32 normalized tile when the LN is absorbed)
     bias_bytes = num_heads * n * n * 4
-    per_win = n * 3 * c * 6 + 2 * n * n * 6 + n * c * 12
+    per_win = n * 3 * c * 6 + 2 * n * n * 6 + n * c * (16 if ln else 12)
     budget = 8 * 1024 * 1024
     wpb_fit = max(int((budget - bias_bytes) // max(per_win, 1)), 1)
     wpb = max(min(windows_per_block, wpb_fit), 1)
@@ -163,28 +197,45 @@ def fused_window_attention(
 
     wins = window_partition(x, ws)  # (total, N, C)
 
+    in_specs = [
+        pl.BlockSpec((wpb, n, c), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((c, 3 * c), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3 * c,), lambda i: (0,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((num_heads, n, n), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [wins, wqkv.astype(x.dtype), bqkv.astype(jnp.float32),
+            wproj.astype(x.dtype), bproj.astype(jnp.float32), bias]
+
+    if ln:
+        def kern(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref,
+                 ln_ref, out_ref):
+            _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+                    bias_ref, out_ref, num_heads=num_heads, wpb=wpb,
+                    shifted=shift_size > 0, grid_dims=grid_dims, ws=ws,
+                    ss=shift_size, ln_ref=ln_ref, ln_eps=ln_eps,
+                    residual=residual)
+        in_specs.append(pl.BlockSpec((2, c), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(jnp.stack([ln_scale, ln_bias]).astype(jnp.float32))
+    else:
+        kern = functools.partial(_kernel, num_heads=num_heads, wpb=wpb,
+                                 shifted=shift_size > 0, grid_dims=grid_dims,
+                                 ws=ws, ss=shift_size, residual=residual)
+
     out = pl.pallas_call(
-        functools.partial(_kernel, num_heads=num_heads, wpb=wpb,
-                          shifted=shift_size > 0, grid_dims=grid_dims,
-                          ws=ws, ss=shift_size),
+        kern,
         grid=(total // wpb,),
-        in_specs=[
-            pl.BlockSpec((wpb, n, c), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, 3 * c), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3 * c,), lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_heads, n, n), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((wpb, n, c), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((total, n, c), x.dtype),
         interpret=interpret,
-    )(wins, wqkv.astype(x.dtype), bqkv.astype(jnp.float32),
-      wproj.astype(x.dtype), bproj.astype(jnp.float32), bias)
+    )(*args)
     return window_reverse(out, ws, (d, h, w))
 
 

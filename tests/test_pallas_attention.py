@@ -72,18 +72,59 @@ def test_fused_kernel_no_qkv_bias():
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("masked", [False, True])
+def test_fused_kernel_ln_residual(masked):
+    """LN+residual absorbed in-kernel == LN -> attention -> +x outside."""
+    rng = np.random.default_rng(4)
+    b, dims, ws, c, nh = 2, (4, 4, 8), 2, 8, 2
+    x = rng.normal(size=(b, *dims, c)).astype(np.float32)
+    p = _params(rng, c, nh, ws)
+    scale = rng.normal(size=(c,)).astype(np.float32) * 0.3 + 1.0
+    bias = rng.normal(size=(c,)).astype(np.float32) * 0.1
+    mask = shift_window_attn_mask(dims, ws, 1) if masked else None
+
+    xf = x.astype(np.float64)
+    mu = xf.mean(-1, keepdims=True)
+    var = np.maximum(0.0, (xf * xf).mean(-1, keepdims=True) - mu * mu)
+    xn = ((xf - mu) / np.sqrt(var + 1e-5) * scale + bias).astype(np.float32)
+    want = x + _xla_reference(xn, p, ws, nh, mask)
+
+    got = fused_window_attention(
+        jnp.asarray(x), jnp.asarray(p["wqkv"]), jnp.asarray(p["bqkv"]),
+        jnp.asarray(p["wproj"]), jnp.asarray(p["bproj"]),
+        jnp.asarray(p["table"]), ws, nh, shift_size=1 if masked else 0,
+        interpret=True, ln_scale=jnp.asarray(scale), ln_bias=jnp.asarray(bias),
+        residual=True)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
+
+
+def _patch_interpret(monkeypatch, pwa):
+    """Force interpret=True on both fused entry points (CPU testing)."""
+    orig_t = pwa.fused_window_attention_trainable
+    orig_f = pwa.fused_window_attention
+
+    def interp_t(x, wqkv, bqkv, wproj, bproj, table, ws, nh, shift=0,
+                 wpb=8, interpret=False):
+        return orig_t(x, wqkv, bqkv, wproj, bproj, table, ws, nh, shift, wpb,
+                      True)
+
+    def interp_f(*args, **kw):
+        args = args[:10]  # drop a positional `interpret` if present
+        kw["interpret"] = True
+        return orig_f(*args, **kw)
+
+    monkeypatch.setattr(pwa, "fused_window_attention_trainable", interp_t)
+    monkeypatch.setattr(pwa, "fused_window_attention", interp_f)
+
+
 def test_encoder_pallas_flag_matches_xla_interpret(monkeypatch):
-    """SwinEncoder3D(use_pallas=True) == use_pallas=False in interpret mode."""
+    """SwinEncoder3D(use_pallas=True) == use_pallas=False in interpret mode.
+
+    The deterministic pad-free path exercises the LN+residual absorbed
+    kernel (SwinBlock `absorb`)."""
     import medicalsemseg_tpu.ops.pallas.window_attention as pwa
 
-    orig = pwa.fused_window_attention_trainable
-
-    def interp(x, wqkv, bqkv, wproj, bproj, table, ws, nh, shift=0,
-               wpb=8, interpret=False):
-        return orig(x, wqkv, bqkv, wproj, bproj, table, ws, nh, shift, wpb,
-                    True)
-
-    monkeypatch.setattr(pwa, "fused_window_attention_trainable", interp)
+    _patch_interpret(monkeypatch, pwa)
 
     from medicalsemseg_tpu.models.swin import SwinEncoder3D
 
@@ -110,14 +151,7 @@ def test_gcvit_pallas_flag_matches_xla_interpret(monkeypatch):
     Covers the local-attention fused path (global-query blocks stay XLA)."""
     import medicalsemseg_tpu.ops.pallas.window_attention as pwa
 
-    orig = pwa.fused_window_attention_trainable
-
-    def interp(x, wqkv, bqkv, wproj, bproj, table, ws, nh, shift=0,
-               wpb=8, interpret=False):
-        return orig(x, wqkv, bqkv, wproj, bproj, table, ws, nh, shift, wpb,
-                    True)
-
-    monkeypatch.setattr(pwa, "fused_window_attention_trainable", interp)
+    _patch_interpret(monkeypatch, pwa)
 
     from medicalsemseg_tpu.models.gcvit import GCViT3D
 
