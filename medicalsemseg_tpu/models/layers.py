@@ -69,8 +69,31 @@ class DropPath(nn.Module):
         return drop_path(x, self.rate, deterministic, rng)
 
 
+class _DenseParams(nn.Module):
+    """kernel/bias leaves under the scope an nn.Dense would own (same names,
+    shapes, inits), so the param tree is unchanged when a fused kernel takes
+    over the computation."""
+
+    features_in: int
+    features_out: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", trunc_normal_init,
+                            (self.features_in, self.features_out),
+                            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features_out,), jnp.float32)
+        return kernel, bias
+
+
 class Mlp(nn.Module):
-    """Linear -> GELU -> Linear token MLP (reference: swin_nnformer.py:24-42)."""
+    """Linear -> GELU -> Linear token MLP (reference: swin_nnformer.py:24-42).
+
+    With ``ln``/``residual`` (inference only) the whole chain — including the
+    caller's pre-MLP LayerNorm and shortcut add — runs as ONE Pallas kernel
+    over VMEM token tiles (ops/pallas/mlp.py); params keep the nn.Dense
+    names (Dense_0/Dense_1)."""
 
     hidden_dim: int
     out_dim: Optional[int] = None
@@ -79,8 +102,20 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, deterministic: bool = True,
-                 grid: Optional[Tuple[int, int, int]] = None) -> jnp.ndarray:
+                 grid: Optional[Tuple[int, int, int]] = None,
+                 ln: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+                 residual: bool = False) -> jnp.ndarray:
         out_dim = self.out_dim or x.shape[-1]
+        if ln is not None or residual:
+            from medicalsemseg_tpu.ops.pallas.mlp import fused_mlp
+
+            w1, b1 = _DenseParams(x.shape[-1], self.hidden_dim,
+                                  name="Dense_0")()
+            w2, b2 = _DenseParams(self.hidden_dim, out_dim, name="Dense_1")()
+            return fused_mlp(x.astype(self.dtype), w1, b1, w2, b2,
+                             ln_scale=None if ln is None else ln[0],
+                             ln_bias=None if ln is None else ln[1],
+                             residual=residual)
         x = nn.Dense(self.hidden_dim, dtype=self.dtype,
                      kernel_init=trunc_normal_init)(x)
         x = nn.gelu(x, approximate=False)

@@ -322,11 +322,22 @@ class SwinBlock(nn.Module):
             x = shortcut + DropPath(self.drop_path_rate)(
                 xn, deterministic=deterministic)
 
-        mlp_in = LayerNorm(dtype=self.dtype)(x).reshape(b, d * h * w, c)
+        ln2 = LayerNorm(dtype=self.dtype)
         mlp = make_mlp(self.mlp_type, int(c * self.mlp_ratio), self.drop, self.dtype)
-        mlp_out = mlp(mlp_in, deterministic=deterministic, grid=(d, h, w))
-        mlp_out = mlp_out.reshape(b, d, h, w, c)
-        x = x + DropPath(self.drop_path_rate)(mlp_out, deterministic=deterministic)
+        if (self.use_pallas and deterministic and self.mlp_type == "dense"
+                and x.dtype == self.dtype):
+            # inference: LN -> fc1 -> GELU -> fc2 -> +residual as ONE fused
+            # kernel over VMEM token tiles (ops/pallas/mlp.py)
+            scale2, bias2 = ln2(x, params_only=True)
+            x = mlp(x.reshape(b, d * h * w, c), deterministic=True,
+                    grid=(d, h, w), ln=(scale2, bias2),
+                    residual=True).reshape(b, d, h, w, c)
+        else:
+            mlp_in = ln2(x).reshape(b, d * h * w, c)
+            mlp_out = mlp(mlp_in, deterministic=deterministic, grid=(d, h, w))
+            mlp_out = mlp_out.reshape(b, d, h, w, c)
+            x = x + DropPath(self.drop_path_rate)(
+                mlp_out, deterministic=deterministic)
         return x, gt
 
 

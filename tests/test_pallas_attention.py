@@ -99,7 +99,10 @@ def test_fused_kernel_ln_residual(masked):
 
 
 def _patch_interpret(monkeypatch, pwa):
-    """Force interpret=True on both fused entry points (CPU testing)."""
+    """Force interpret=True on all fused entry points (CPU testing)."""
+    import medicalsemseg_tpu.ops.pallas.mlp as pmlp
+
+    monkeypatch.setattr(pmlp, "_FORCE_INTERPRET", True)
     orig_t = pwa.fused_window_attention_trainable
     orig_f = pwa.fused_window_attention
 
