@@ -143,7 +143,9 @@ class GCWindowAttention(nn.Module):
     def __call__(self, x: Optional[jnp.ndarray],
                  q_global: Optional[jnp.ndarray],
                  deterministic: bool = True,
-                 x_volume: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 x_volume: Optional[jnp.ndarray] = None,
+                 ln: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+                 residual: bool = False) -> jnp.ndarray:
         nh = self.num_heads
         c = self.dim
         hd = c // nh
@@ -179,10 +181,19 @@ class GCWindowAttention(nn.Module):
                 # fused Pallas path: partition+qkv+attention+proj+reverse in
                 # one kernel over the (ws-divisible) volume; no shift/mask
                 from medicalsemseg_tpu.ops.pallas.window_attention import (
+                    fused_window_attention,
                     fused_window_attention_trainable)
 
                 bq = bqkv if bqkv is not None else jnp.zeros(
                     (3 * c,), jnp.float32)
+                if ln is not None or residual:
+                    # inference-only absorbed form (see models/swin.py)
+                    return fused_window_attention(
+                        x_volume.astype(self.dtype), wqkv, bq, wproj, bproj,
+                        table, ws, nh, 0,
+                        ln_scale=None if ln is None else ln[0],
+                        ln_bias=None if ln is None else ln[1],
+                        residual=residual)
                 return fused_window_attention_trainable(
                     x_volume.astype(self.dtype), wqkv, bq, wproj, bproj,
                     table, ws, nh, 0)
@@ -236,8 +247,7 @@ class GCViTBlock(nn.Module):
     def __call__(self, x: jnp.ndarray, q_global, deterministic: bool = True):
         b, d, h, w, c = x.shape
         ws = min(self.window_size, d, h, w)
-        shortcut = x
-        xn = LayerNorm(dtype=self.dtype, name="norm1")(x)
+        ln1 = LayerNorm(dtype=self.dtype, name="norm1")
         attn = GCWindowAttention(
             dim=c, num_heads=self.num_heads, window_size=ws,
             use_global=self.use_global, qkv_bias=self.qkv_bias,
@@ -252,12 +262,9 @@ class GCViTBlock(nn.Module):
         fuse = (self.use_pallas and not self.use_global and deterministic
                 and not self.ref_quirk_index
                 and d % ws == 0 and h % ws == 0 and w % ws == 0)
-        if fuse:
-            xn = attn(None, None, deterministic, x_volume=xn)
-        else:
-            wins = window_partition(xn, ws)
-            wins = attn(wins, q_global, deterministic)
-            xn = window_reverse(wins, ws, (d, h, w))
+        # with no layer-scale the kernel also absorbs LN1 and the shortcut
+        # (see models/swin.py SwinBlock)
+        absorb = fuse and self.layer_scale is None and x.dtype == self.dtype
 
         if self.layer_scale is not None:
             g1 = self.param("gamma1", nn.initializers.constant(self.layer_scale),
@@ -267,11 +274,35 @@ class GCViTBlock(nn.Module):
         else:
             g1 = g2 = 1.0
 
-        x = shortcut + DropPath(self.drop_path_rate)(
-            g1 * xn, deterministic=deterministic)
+        if absorb:
+            s1, b1 = ln1(x, params_only=True)
+            x = attn(None, None, True, x_volume=x, ln=(s1, b1), residual=True)
+        else:
+            shortcut = x
+            xn = ln1(x)
+            if fuse:
+                xn = attn(None, None, deterministic, x_volume=xn)
+            else:
+                wins = window_partition(xn, ws)
+                wins = attn(wins, q_global, deterministic)
+                xn = window_reverse(wins, ws, (d, h, w))
+            x = shortcut + DropPath(self.drop_path_rate)(
+                g1 * xn, deterministic=deterministic)
+
         mlp = Mlp(hidden_dim=int(c * self.mlp_ratio), dropout=self.drop,
                   dtype=self.dtype, name="mlp")
-        h_out = mlp(LayerNorm(dtype=self.dtype, name="norm2")(x).reshape(b, -1, c),
+        ln2 = LayerNorm(dtype=self.dtype, name="norm2")
+        if self.use_pallas and deterministic and x.dtype == self.dtype:
+            s2, b2 = ln2(x, params_only=True)
+            if self.layer_scale is None:
+                return mlp(x.reshape(b, -1, c), ln=(s2, b2),
+                           residual=True).reshape(b, d, h, w, c)
+            # layer-scale keeps the scaled add outside; the LN + both
+            # projections + GELU still fuse
+            h_out = mlp(x.reshape(b, -1, c),
+                        ln=(s2, b2)).reshape(b, d, h, w, c)
+            return x + g2 * h_out
+        h_out = mlp(ln2(x).reshape(b, -1, c),
                     deterministic=deterministic).reshape(b, d, h, w, c)
         return x + DropPath(self.drop_path_rate)(
             g2 * h_out, deterministic=deterministic)
