@@ -125,12 +125,20 @@ class WindowAttention(nn.Module):
             # variant carries a custom VJP (flash-style recompute backward)
             from medicalsemseg_tpu.ops.pallas.window_attention import (
                 fused_window_attention,
+                fused_window_attention_ln_trainable,
                 fused_window_attention_trainable)
 
             bq = bqkv if bqkv is not None else jnp.zeros(
                 (3 * self.dim,), jnp.float32)
-            if ln is not None or residual:
-                # inference-only absorbed form: x_volume is the RAW (rolled)
+            if ln is not None and not deterministic:
+                # absorbed form under training: custom VJP chains the LN
+                # backward in-kernel (and dy->dx for the shortcut)
+                out_vol = fused_window_attention_ln_trainable(
+                    x_volume.astype(self.dtype), ln[0], ln[1], wqkv, bq,
+                    wproj, bproj, rel_table, self.window_size[0], nh,
+                    shift_size, 8, False, residual)
+            elif ln is not None or residual:
+                # absorbed form at inference: x_volume is the RAW (rolled)
                 # volume; the kernel applies the block's pre-attention LN
                 # and/or adds the shortcut in VMEM (no standalone LN/add
                 # passes over HBM)
@@ -278,27 +286,37 @@ class SwinBlock(nn.Module):
                 pallas_train_fits)
             train_fuse = (self.attn_drop == 0.0 and self.drop == 0.0
                           and pallas_train_fits(c, self.num_heads, ws))
+            train_absorb = train_fuse and pallas_train_fits(
+                c, self.num_heads, ws, ln=True)
         else:
-            train_fuse = False
+            train_fuse = train_absorb = False
         fuse = (self.use_pallas and not self.global_token
                 and not self.rel_pos_bias_affine
                 and not self.ref_quirk_index
                 and (deterministic or train_fuse))
-        # inference-only LN+residual absorption: valid when no window padding
-        # is needed (zero-padding RAW tokens would LN to `bias`, not 0) and
-        # DropPath is identity (deterministic). The kernel then computes
-        # x + attn(LN(x)) in one pass — the standalone LN and the shortcut
-        # add each saved a full HBM round-trip over the volume.
-        absorb = (fuse and deterministic and (dp, hp, wp) == (d, h, w)
-                  and x.dtype == self.dtype)
+        # LN(+residual) absorption: valid when no window padding is needed
+        # (zero-padding RAW tokens would LN to `bias`, not 0). The kernel
+        # then computes x + attn(LN(x)) in one pass — the standalone LN and
+        # the shortcut add each saved a full HBM round-trip over the volume
+        # (and, under training, the same again in the backward). The
+        # shortcut stays outside when DropPath is live.
+        absorb = (fuse and (deterministic or train_absorb)
+                  and (dp, hp, wp) == (d, h, w) and x.dtype == self.dtype)
         if absorb:
+            res_in = deterministic or self.drop_path_rate == 0.0
             scale, bias = ln1(x, params_only=True)
             xr = (jnp.roll(x, shift=(-ss, -ss, -ss), axis=(1, 2, 3))
                   if ss > 0 else x)
-            xn, gt = attn(None, gt=gt, deterministic=True, x_volume=xr,
-                          shift_size=ss, ln=(scale, bias), residual=True)
-            x = (jnp.roll(xn, shift=(ss, ss, ss), axis=(1, 2, 3))
-                 if ss > 0 else xn)
+            xn, gt = attn(None, gt=gt, deterministic=deterministic,
+                          x_volume=xr, shift_size=ss, ln=(scale, bias),
+                          residual=res_in)
+            out = (jnp.roll(xn, shift=(ss, ss, ss), axis=(1, 2, 3))
+                   if ss > 0 else xn)
+            if res_in:
+                x = out
+            else:
+                x = x + DropPath(self.drop_path_rate)(
+                    out, deterministic=deterministic)
         else:
             shortcut = x
             xn = ln1(x)

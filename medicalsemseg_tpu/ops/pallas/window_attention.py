@@ -240,14 +240,16 @@ def fused_window_attention(
 
 
 def pallas_train_bwd_vmem_bytes(c: int, num_heads: int, window_size: int,
-                                windows_per_block: int = 8) -> int:
+                                windows_per_block: int = 8,
+                                ln: bool = False) -> int:
     """Scoped-VMEM estimate for the backward kernel at one block shape.
 
     Calibrated against the AOT compiler's report for the flagship stage-4
     shape (c=384, nh=24, n=216): estimate ~23.5M vs reported 25.14M against
     a 16M scoped limit. Dominant terms: the three (nh, N, N) fp32 buffers
     (rel-pos bias in, dbias out, bacc scratch) and the flat weight-grad
-    accumulator."""
+    accumulator. With ln (absorbed LayerNorm) add the fp32 raw-x / xhat /
+    dxhat tile temporaries."""
     n = window_size ** 3
     bias_bytes = num_heads * n * n * 4
     per_win = n * 3 * c * 6 + 2 * n * n * 6 + n * c * 12
@@ -255,32 +257,42 @@ def pallas_train_bwd_vmem_bytes(c: int, num_heads: int, window_size: int,
                       // max(per_win, 1)), 1)
     wpb = max(min(windows_per_block, wpb_fit), 1)
     return (3 * bias_bytes                # bias in + dbias out + bacc scratch
-            + (2 * c + 2) * 3 * c * 4    # wacc scratch
+            + (2 * c + (4 if ln else 2)) * 3 * c * 4   # wacc scratch
             + c * 4 * c * 4              # dwqkv + dwproj outputs
             + c * 4 * c * 2              # weight inputs (bf16)
             + wpb * n * c * 12           # x/dy/dx tiles, double-buffered
             + wpb * n * 3 * c * 6        # qkv fp32 + bf16 copy
-            + 4 * wpb * n * n * 4)       # live per-head attention temps
+            + 4 * wpb * n * n * 4        # live per-head attention temps
+            + (wpb * n * c * 12 if ln else 0))  # xr32/xhat/dxhat fp32 temps
 
 
 def pallas_train_fits(c: int, num_heads: int, window_size: int,
-                      limit: int = 14 * 1024 * 1024) -> bool:
+                      limit: int = 14 * 1024 * 1024,
+                      ln: bool = False) -> bool:
     """Whether the custom-VJP backward kernel fits scoped VMEM (16M on v5e;
     14M threshold leaves headroom for compiler temporaries). The flagship's
     stage 4 (c=384, nh=24) does NOT fit — its blocks keep the XLA backward,
     which is cheap there (8 windows); stages 1-3 (512/64/8 windows at
     c=48/96/192) fit and carry virtually all the attention time."""
-    return pallas_train_bwd_vmem_bytes(c, num_heads, window_size) <= limit
+    return pallas_train_bwd_vmem_bytes(c, num_heads, window_size,
+                                       ln=ln) <= limit
 
 
 def _bwd_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bias_ref, dy_ref,
                 dx_ref, dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref,
                 dbias_ref, *, num_heads: int, wpb: int, shifted: bool,
                 grid_dims: Tuple[int, int, int], ws: int, ss: int,
-                acc_ref=None):
+                acc_ref=None, ln_ref=None, dln_ref=None,
+                ln_eps: float = 1e-5, residual: bool = False):
     """Flash-style backward: recompute qkv + softmax in VMEM, produce dx per
     tile; weight/bias grads accumulate in fp32 VMEM scratch across the
-    (sequential on TPU) grid steps and are written out at the last step."""
+    (sequential on TPU) grid steps and are written out at the last step.
+
+    With ln_ref the block's pre-attention LayerNorm is absorbed: x_ref holds
+    the RAW volume, the kernel recomputes xhat/stats for qkv AND chains the
+    LN backward onto dx in VMEM (dscale/dbias accumulate in scratch rows
+    2c+2/2c+3). With residual, dy flows straight into dx (the forward added
+    the raw shortcut in-kernel)."""
     n = x_ref.shape[1]
     c = x_ref.shape[-1]
     hd = c // num_heads
@@ -290,6 +302,7 @@ def _bwd_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bias_ref, dy_ref,
 
     # scratch layout: one flat fp32 buffer holding all weight-grad
     # accumulators: dwqkv (c,3c) | dwproj (c,c) | dbqkv (1,3c) | dbproj (1,c)
+    # [| dscale (1,c) | dbias_ln (1,c) when LN is absorbed]
     # plus dbias (nh, n, n) as a second scratch
     wacc, bacc = acc_ref
 
@@ -298,7 +311,16 @@ def _bwd_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bias_ref, dy_ref,
         wacc[:] = jnp.zeros_like(wacc)
         bacc[:] = jnp.zeros_like(bacc)
 
-    xw = x_ref[:].reshape(wpb * n, c)
+    if ln_ref is not None:
+        xr32 = x_ref[:].reshape(wpb * n, c).astype(jnp.float32)
+        mu = xr32.mean(axis=-1, keepdims=True)
+        var = jnp.maximum(0.0, (xr32 * xr32).mean(axis=-1, keepdims=True)
+                          - mu * mu)
+        inv = jax.lax.rsqrt(var + ln_eps)
+        xhat = (xr32 - mu) * inv
+        xw = (xhat * ln_ref[0] + ln_ref[1]).astype(x_ref.dtype)
+    else:
+        xw = x_ref[:].reshape(wpb * n, c)
     qkv = jnp.dot(xw, wqkv_ref[:], preferred_element_type=jnp.float32)
     qkv = (qkv + bqkv_ref[:]).astype(x_ref.dtype).reshape(wpb, n, 3 * c)
 
@@ -358,6 +380,17 @@ def _bwd_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bias_ref, dy_ref,
     dqkv = dqkv.reshape(wpb * n, 3 * c).astype(x_ref.dtype)
 
     dx = jnp.dot(dqkv, wqkv_ref[:].T, preferred_element_type=jnp.float32)
+    if ln_ref is not None:
+        # LN backward (fp32 VPU): dxn is the grad wrt the normalized tokens
+        dxn = dx
+        dxhat = dxn * ln_ref[0]
+        m1 = dxhat.mean(axis=-1, keepdims=True)
+        m2 = (dxhat * xhat).mean(axis=-1, keepdims=True)
+        dx = (dxhat - m1 - xhat * m2) * inv
+        wacc[2 * c + 2, 0:c] += (dxn * xhat).sum(axis=0)
+        wacc[2 * c + 3, 0:c] += dxn.sum(axis=0)
+    if residual:
+        dx = dx + dy.astype(jnp.float32)
     dx_ref[:] = dx.astype(x_ref.dtype).reshape(wpb, n, c)
 
     dwqkv = jax.lax.dot_general(xw, dqkv, (((0,), (0,)), ((), ())),
@@ -377,65 +410,92 @@ def _bwd_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bias_ref, dy_ref,
         dbqkv_ref[:] = wacc[2 * cc, 0:3 * cc]
         dbproj_ref[:] = wacc[2 * cc + 1, 0:cc]
         dbias_ref[:] = bacc[:]
+        if dln_ref is not None:
+            dln_ref[:] = jnp.stack([wacc[2 * cc + 2, 0:cc],
+                                    wacc[2 * cc + 3, 0:cc]])
 
 
 def _fused_bwd_windows(wins, wqkv, bqkv, wproj, bias, dy_wins, *, num_heads,
-                       wpb, shifted, grid_dims, ws, ss, interpret=False):
-    """Run the backward kernel over all window tiles; returns grads."""
+                       wpb, shifted, grid_dims, ws, ss, interpret=False,
+                       ln=None, ln_eps=1e-5, residual=False):
+    """Run the backward kernel over all window tiles; returns grads
+    (+ the (2, C) dscale/dbias of the absorbed LN when `ln` is given)."""
     total, n, c = wins.shape
     grid = (total // wpb,)
     kernel = functools.partial(_bwd_kernel, num_heads=num_heads, wpb=wpb,
                                shifted=shifted, grid_dims=grid_dims, ws=ws,
-                               ss=ss)
+                               ss=ss, ln_eps=ln_eps, residual=residual)
 
-    def wrapped(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bias_ref, dy_ref,
-                dx_ref, dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref,
-                dbias_ref, wacc, bacc):
-        kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bias_ref, dy_ref,
-               dx_ref, dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref,
-               dbias_ref, acc_ref=(wacc, bacc))
+    in_specs = [
+        pl.BlockSpec((wpb, n, c), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((c, 3 * c), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3 * c,), lambda i: (0,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((num_heads, n, n), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((wpb, n, c), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec((wpb, n, c), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((c, 3 * c), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3 * c,), lambda i: (0,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((num_heads, n, n), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((total, n, c), wins.dtype),
+        jax.ShapeDtypeStruct((c, 3 * c), jnp.float32),
+        jax.ShapeDtypeStruct((3 * c,), jnp.float32),
+        jax.ShapeDtypeStruct((c, c), jnp.float32),
+        jax.ShapeDtypeStruct((c,), jnp.float32),
+        jax.ShapeDtypeStruct((num_heads, n, n), jnp.float32),
+    ]
+    args = [wins, wqkv.astype(wins.dtype), bqkv.astype(jnp.float32),
+            wproj.astype(wins.dtype), bias, dy_wins]
+    scratch_rows = 2 * c + (4 if ln is not None else 2)
+
+    if ln is not None:
+        in_specs.append(pl.BlockSpec((2, c), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        out_specs.append(pl.BlockSpec((2, c), lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((2, c), jnp.float32))
+        args.append(jnp.stack([ln[0], ln[1]]).astype(jnp.float32))
+
+        def wrapped(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bias_ref, dy_ref,
+                    ln_ref, dx_ref, dwqkv_ref, dbqkv_ref, dwproj_ref,
+                    dbproj_ref, dbias_ref, dln_ref, wacc, bacc):
+            kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bias_ref, dy_ref,
+                   dx_ref, dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref,
+                   dbias_ref, acc_ref=(wacc, bacc), ln_ref=ln_ref,
+                   dln_ref=dln_ref)
+    else:
+        def wrapped(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bias_ref, dy_ref,
+                    dx_ref, dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref,
+                    dbias_ref, wacc, bacc):
+            kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bias_ref, dy_ref,
+                   dx_ref, dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref,
+                   dbias_ref, acc_ref=(wacc, bacc))
 
     outs = pl.pallas_call(
         wrapped,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((wpb, n, c), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, 3 * c), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3 * c,), lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_heads, n, n), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((wpb, n, c), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((wpb, n, c), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, 3 * c), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3 * c,), lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_heads, n, n), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((total, n, c), wins.dtype),
-            jax.ShapeDtypeStruct((c, 3 * c), jnp.float32),
-            jax.ShapeDtypeStruct((3 * c,), jnp.float32),
-            jax.ShapeDtypeStruct((c, c), jnp.float32),
-            jax.ShapeDtypeStruct((c,), jnp.float32),
-            jax.ShapeDtypeStruct((num_heads, n, n), jnp.float32),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((2 * c + 2, 3 * c), jnp.float32),
+            pltpu.VMEM((scratch_rows, 3 * c), jnp.float32),
             pltpu.VMEM((num_heads, n, n), jnp.float32),
         ],
         interpret=interpret,
-    )(wins, wqkv.astype(wins.dtype), bqkv.astype(jnp.float32),
-      wproj.astype(wins.dtype), bias, dy_wins)
+    )(*args)
     return outs
 
 
@@ -506,3 +566,84 @@ def _fwa_bwd(window_size, num_heads, shift_size, windows_per_block, interpret,
 
 
 fused_window_attention_trainable.defvjp(_fwa_fwd, _fwa_bwd)
+
+
+def _bwd_tile_params(c, num_heads, ws, windows_per_block):
+    """Shared wpb sizing for the backward kernel (see _fwa_bwd)."""
+    n = ws ** 3
+    bias_bytes = num_heads * n * n * 4
+    per_win = n * 3 * c * 6 + 2 * n * n * 6 + n * c * 12
+    wpb_fit = max(int((6 * 1024 * 1024 - 2 * bias_bytes)
+                      // max(per_win, 1)), 1)
+    return max(min(windows_per_block, wpb_fit), 1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13, 14))
+def fused_window_attention_ln_trainable(
+        x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, rel_bias_table,
+        window_size: int, num_heads: int, shift_size: int = 0,
+        windows_per_block: int = 8, interpret: bool = False,
+        residual: bool = False, ln_eps: float = 1e-5):
+    """Differentiable fused LN + window attention [+ shortcut] (custom VJP).
+
+    The training counterpart of the absorbed inference form: x is the RAW
+    (rolled) volume; the forward kernel applies the pre-attention LayerNorm
+    in VMEM (and adds the shortcut when residual=True), and the backward
+    kernel chains the LN gradient onto dx tile-by-tile — the LN'd volume and
+    its gradient never exist in HBM in either direction.
+    """
+    return fused_window_attention(x, wqkv, bqkv, wproj, bproj, rel_bias_table,
+                                  window_size, num_heads, shift_size,
+                                  windows_per_block, interpret,
+                                  ln_scale=ln_scale, ln_bias=ln_bias,
+                                  ln_eps=ln_eps, residual=residual)
+
+
+def _fwa_ln_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+                rel_bias_table, window_size, num_heads, shift_size,
+                windows_per_block, interpret, residual, ln_eps):
+    out = fused_window_attention(x, wqkv, bqkv, wproj, bproj, rel_bias_table,
+                                 window_size, num_heads, shift_size,
+                                 windows_per_block, interpret,
+                                 ln_scale=ln_scale, ln_bias=ln_bias,
+                                 ln_eps=ln_eps, residual=residual)
+    return out, (x, ln_scale, ln_bias, wqkv, bqkv, wproj, rel_bias_table)
+
+
+def _fwa_ln_bwd(window_size, num_heads, shift_size, windows_per_block,
+                interpret, residual, ln_eps, residuals, dy):
+    x, ln_scale, ln_bias, wqkv, bqkv, wproj, rel_bias_table = residuals
+    b, d, h, w, c = x.shape
+    ws = window_size
+    n = ws ** 3
+    grid_dims = (d // ws, h // ws, w // ws)
+    total = b * int(np.prod(grid_dims))
+    wpb = _bwd_tile_params(c, num_heads, ws, windows_per_block)
+    while total % wpb != 0:
+        wpb -= 1
+
+    idx = relative_position_index((ws, ws, ws))
+    bias = rel_bias_table[jnp.asarray(idx.reshape(-1))]
+    bias = bias.reshape(n, n, num_heads).transpose(2, 0, 1).astype(jnp.float32)
+
+    wins = window_partition(x, ws)
+    dy_wins = window_partition(dy.astype(x.dtype), ws)
+
+    (dx_wins, dwqkv, dbqkv, dwproj, dbproj, dbias, dln) = _fused_bwd_windows(
+        wins, wqkv, bqkv, wproj, bias, dy_wins, num_heads=num_heads, wpb=wpb,
+        shifted=shift_size > 0, grid_dims=grid_dims, ws=ws, ss=shift_size,
+        interpret=interpret, ln=(ln_scale, ln_bias), ln_eps=ln_eps,
+        residual=residual)
+
+    dx = window_reverse(dx_wins, ws, (d, h, w))
+    table_size = rel_bias_table.shape[0]
+    flat = dbias.transpose(1, 2, 0).reshape(-1, num_heads)
+    dtable = jax.ops.segment_sum(flat, jnp.asarray(idx.reshape(-1)),
+                                 num_segments=table_size)
+    return (dx.astype(x.dtype), dln[0].astype(ln_scale.dtype),
+            dln[1].astype(ln_bias.dtype), dwqkv.astype(wqkv.dtype),
+            dbqkv.astype(bqkv.dtype), dwproj.astype(wproj.dtype),
+            dbproj, dtable.astype(rel_bias_table.dtype))
+
+
+fused_window_attention_ln_trainable.defvjp(_fwa_ln_fwd, _fwa_ln_bwd)

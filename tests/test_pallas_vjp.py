@@ -68,6 +68,113 @@ def test_vjp_matches_xla_grads(monkeypatch, shift):
                                    rtol=2e-4, atol=2e-5, err_msg=name)
 
 
+@pytest.mark.parametrize("shift,residual", [(0, True), (1, True), (0, False)])
+def test_ln_vjp_matches_xla_grads(monkeypatch, shift, residual):
+    """fused_window_attention_ln_trainable grads == jax.grad of
+    LN -> XLA attention [-> +x]."""
+    orig_fwd = pwa.fused_window_attention
+
+    def force_interp(*a, **k):
+        a = a[:10]
+        k["interpret"] = True
+        return orig_fwd(*a, **k)
+
+    monkeypatch.setattr(pwa, "fused_window_attention", force_interp)
+
+    rng = np.random.default_rng(2)
+    b, dims, ws, c, nh = 1, (4, 4, 4), 2, 8, 2
+    x = jnp.asarray(rng.normal(size=(b, *dims, c)).astype(np.float32))
+    p = {
+        "wqkv": jnp.asarray(rng.normal(size=(c, 3 * c)).astype(np.float32) * 0.2),
+        "bqkv": jnp.asarray(rng.normal(size=(3 * c,)).astype(np.float32) * 0.1),
+        "wproj": jnp.asarray(rng.normal(size=(c, c)).astype(np.float32) * 0.2),
+        "bproj": jnp.asarray(rng.normal(size=(c,)).astype(np.float32) * 0.1),
+        "table": jnp.asarray(
+            rng.normal(size=((2 * ws - 1) ** 3, nh)).astype(np.float32) * 0.05),
+    }
+    scale = jnp.asarray(rng.normal(size=(c,)).astype(np.float32) * 0.3 + 1.0)
+    bias = jnp.asarray(rng.normal(size=(c,)).astype(np.float32) * 0.1)
+    cot = jnp.asarray(rng.normal(size=(b, *dims, c)).astype(np.float32))
+
+    def ln_ref(x, s, b_):
+        xf = x.astype(jnp.float32)
+        mu = xf.mean(-1, keepdims=True)
+        var = jnp.maximum(0.0, (xf * xf).mean(-1, keepdims=True) - mu * mu)
+        return (xf - mu) * (jax.lax.rsqrt(var + 1e-5) * s) + b_
+
+    def loss_pallas(x, scale, bias, wqkv, bqkv, wproj, bproj, table):
+        y = pwa.fused_window_attention_ln_trainable(
+            x, scale, bias, wqkv, bqkv, wproj, bproj, table, ws, nh, shift,
+            4, True, residual)
+        return (y * cot).sum()
+
+    def loss_xla(x, scale, bias, wqkv, bqkv, wproj, bproj, table):
+        y = _xla_forward(ln_ref(x, scale, bias),
+                         {"wqkv": wqkv, "bqkv": bqkv, "wproj": wproj,
+                          "bproj": bproj, "table": table}, ws, nh, shift)
+        if residual:
+            y = y + x
+        return (y * cot).sum()
+
+    args = (x, scale, bias, p["wqkv"], p["bqkv"], p["wproj"], p["bproj"],
+            p["table"])
+    nums = tuple(range(8))
+    g_pallas = jax.grad(loss_pallas, argnums=nums)(*args)
+    g_xla = jax.grad(loss_xla, argnums=nums)(*args)
+    names = ("dx", "dscale", "dbias_ln", "dwqkv", "dbqkv", "dwproj",
+             "dbproj", "dtable")
+    for name, a, b_ in zip(names, g_pallas, g_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)
+
+
+def test_encoder_pallas_train_matches_xla_grads(monkeypatch):
+    """SwinEncoder3D(pallas_train=True) grads == XLA grads in train mode
+    (exercises the LN-absorbed custom VJP through SwinBlock)."""
+    orig_ln = pwa.fused_window_attention_ln_trainable
+    orig_t = pwa.fused_window_attention_trainable
+
+    def interp_ln(*a):
+        return orig_ln(*a[:12], True, *a[13:])
+
+    def interp_t(x, wqkv, bqkv, wproj, bproj, table, ws, nh, shift=0,
+                 wpb=8, interpret=False):
+        return orig_t(x, wqkv, bqkv, wproj, bproj, table, ws, nh, shift,
+                      wpb, True)
+
+    monkeypatch.setattr(pwa, "fused_window_attention_ln_trainable", interp_ln)
+    monkeypatch.setattr(pwa, "fused_window_attention_trainable", interp_t)
+
+    from medicalsemseg_tpu.models.swin import SwinEncoder3D
+
+    kw = dict(patch_size=(2, 2, 2), embed_dim=8, depths=(1, 1),
+              num_heads=(2, 2), window_sizes=(2, 2), qkv_bias=True,
+              drop_path_rate=0.0)
+    enc_x = SwinEncoder3D(use_pallas=False, **kw)
+    enc_p = SwinEncoder3D(use_pallas=True, pallas_train=True, **kw)
+    rng = np.random.default_rng(3)
+    vol = jnp.asarray(rng.normal(size=(1, 8, 8, 8, 1)).astype(np.float32))
+    x_in = (vol, None, None)
+    variables = jax.jit(lambda r, x: enc_x.init(r, x, deterministic=True))(
+        jax.random.PRNGKey(0), x_in)
+
+    def loss(module, v):
+        outs = module.apply(v, x_in, deterministic=False,
+                            rngs={"dropout": jax.random.PRNGKey(1)})
+        return sum((o.astype(jnp.float32) ** 2).sum() for o in outs)
+
+    g_x = jax.grad(lambda v: loss(enc_x, v))(variables)
+    g_p = jax.grad(lambda v: loss(enc_p, v))(variables)
+    flat_x = jax.tree_util.tree_leaves_with_path(g_x)
+    flat_p = jax.tree_util.tree_leaves_with_path(g_p)
+    assert len(flat_x) == len(flat_p)
+    for (kx, ax), (kp, ap) in zip(flat_x, flat_p):
+        assert kx == kp
+        np.testing.assert_allclose(
+            np.asarray(ap), np.asarray(ax), rtol=5e-4, atol=5e-5,
+            err_msg=jax.tree_util.keystr(kx))
+
+
 def test_vjp_forward_value_matches(monkeypatch):
     rng = np.random.default_rng(1)
     b, dims, ws, c, nh = 2, (4, 4, 4), 2, 4, 1
