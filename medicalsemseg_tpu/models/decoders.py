@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Any, List, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -34,11 +35,30 @@ def _lrelu(x):
     return nn.leaky_relu(x, negative_slope=0.01)
 
 
+def decoder_fuse_enabled() -> bool:
+    """Inference-only fused decoder path (winograd conv with the preceding
+    InstanceNorm+LeakyReLU folded into its input epilogue). A/B-gated via
+    MEDSEG_FUSED_DECODER until the TPU benchmarks confirm the win."""
+    import os
+
+    import jax
+
+    from medicalsemseg_tpu.ops.pallas import winograd3d as _w3
+
+    return (os.environ.get("MEDSEG_FUSED_DECODER", "0") != "0"
+            and (jax.default_backend() != "cpu" or _w3._FORCE_INTERPRET))
+
+
 class UnetResBlock(nn.Module):
     """conv3-IN-lrelu -> conv3-IN, 1x1-IN shortcut when shape changes, lrelu.
 
     Equivalent of MONAI UnetResBlock as instantiated by UnetrBasicBlock
     (res_block=True) in reference: models/segmentors/swin_unetr.py:73-128.
+
+    With ``fuse`` (inference), conv2 runs as the F(2,3) winograd Pallas
+    kernel with norm1+lrelu folded into its input epilogue
+    (ops/pallas/winograd3d.py): the normalized volume never round-trips HBM
+    and the PE-bound 3^3 conv does 3.375x less MXU work.
     """
 
     out_channels: int
@@ -47,15 +67,37 @@ class UnetResBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, fuse: bool = False) -> jnp.ndarray:
         in_ch = x.shape[-1]
         residual = x
-        y = Conv3d(self.out_channels, self.kernel_size, strides=self.strides,
-                   use_bias=False, dtype=self.dtype, name="conv1")(x)
-        y = InstanceNorm(dtype=self.dtype, name="norm1")(y)
-        y = _lrelu(y)
-        y = Conv3d(self.out_channels, self.kernel_size, use_bias=False,
-                   dtype=self.dtype, name="conv2")(y)
+        conv1 = Conv3d(self.out_channels, self.kernel_size,
+                       strides=self.strides, use_bias=False, dtype=self.dtype,
+                       name="conv1")
+        norm1 = InstanceNorm(dtype=self.dtype, name="norm1")
+        conv2 = Conv3d(self.out_channels, self.kernel_size, use_bias=False,
+                       dtype=self.dtype, name="conv2")
+        y = conv1(x)
+
+        if fuse and tuple(self.kernel_size) == (3, 3, 3):
+            from medicalsemseg_tpu.ops.pallas.winograd3d import (
+                winograd_conv3d_f23, winograd_f23_applicable)
+            fuse = winograd_f23_applicable(tuple(y.shape[1:4]), y.shape[-1])
+        else:
+            fuse = False
+
+        if fuse:
+            g, b_ = norm1(y, params_only=True)
+            k2, _ = conv2(y, params_only=True)
+            yf = y.astype(jnp.float32)
+            axes = tuple(range(1, y.ndim - 1))
+            mu = yf.mean(axes)                      # (B, C)
+            var = yf.var(axes)
+            sc = g[None] * jax.lax.rsqrt(var + 1e-5)
+            sh = b_[None] - mu * sc
+            y = winograd_conv3d_f23(y, k2, epilogue=(sc, sh), lrelu=True)
+        else:
+            y = _lrelu(norm1(y))
+            y = conv2(y)
         y = InstanceNorm(dtype=self.dtype, name="norm2")(y)
         if in_ch != self.out_channels or any(s != 1 for s in self.strides):
             residual = Conv3d(self.out_channels, (1, 1, 1), strides=self.strides,
@@ -77,14 +119,15 @@ class UnetrUpBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, skip: jnp.ndarray,
-                 deterministic: bool = False) -> jnp.ndarray:
+                 deterministic: bool = False,
+                 fuse: bool = False) -> jnp.ndarray:
         x = ConvTranspose3d(self.out_channels, kernel_size=self.upsample,
                             strides=self.upsample, use_bias=False,
                             dtype=self.dtype, name="transp_conv")(
                                 x, deterministic)
         x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
         return UnetResBlock(self.out_channels, self.kernel_size,
-                            dtype=self.dtype, name="conv_block")(x)
+                            dtype=self.dtype, name="conv_block")(x, fuse)
 
 
 class UnetOutBlock(nn.Module):
@@ -127,24 +170,27 @@ class SwinUNETRDecoder(nn.Module):
         # the whole-graph backward at batch >= 2 crashes this pod's AOT
         # compiler even though every block compiles individually. Mode "conv"
         # saves the conv outputs so the replay is elementwise-only.
-        res_cls = remat_module(UnetResBlock, self.remat)
-        up_cls = remat_module(UnetrUpBlock, self.remat, static_argnums=(3,))
+        res_cls = remat_module(UnetResBlock, self.remat, static_argnums=(2,))
+        up_cls = remat_module(UnetrUpBlock, self.remat, static_argnums=(3, 4))
+
+        # fused winograd+IN-epilogue conv blocks (inference only, A/B-gated)
+        fuse = deterministic and decoder_fuse_enabled()
 
         # per-scale residual refiners ("unet_encoders" in the reference)
         enc0 = res_cls(h, dtype=self.dtype, name="encoder0")(
-            vol.astype(self.dtype))
-        enc = [res_cls(h, dtype=self.dtype, name="encoder1")(z[0])]
+            vol.astype(self.dtype), fuse)
+        enc = [res_cls(h, dtype=self.dtype, name="encoder1")(z[0], fuse)]
         for i in range(nl):
             enc.append(res_cls(h * 2 ** (i + 1), dtype=self.dtype,
-                               name=f"encoder{i + 2}")(z[i + 1]))
+                               name=f"encoder{i + 2}")(z[i + 1], fuse))
 
         # top-down: dec[i] maps h*2^(i+1) -> h*2^i with skip at h*2^i
         x = enc[-1]
         for i in range(nl - 1, -1, -1):
             x = up_cls(h * 2 ** i, dtype=self.dtype,
-                       name=f"decoder{i + 1}")(x, enc[i], deterministic)
+                       name=f"decoder{i + 1}")(x, enc[i], deterministic, fuse)
         x = up_cls(h, upsample=self.patch_size, dtype=self.dtype,
-                   name="decoder0")(x, enc0, deterministic)
+                   name="decoder0")(x, enc0, deterministic, fuse)
         return UnetOutBlock(self.out_channels, dtype=self.dtype, name="out")(x)
 
 

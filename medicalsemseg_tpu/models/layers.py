@@ -175,16 +175,19 @@ class _FastConv3dS1(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, params_only: bool = False):
         from medicalsemseg_tpu.ops.convgrad import conv3x3x3_s1
 
         c = x.shape[-1]
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (3, 3, 3, c, self.features), jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.features,), jnp.float32)
+                if self.use_bias else None)
+        if params_only:
+            return kernel, bias
         y = conv3x3x3_s1(x.astype(self.dtype), kernel.astype(self.dtype))
-        if self.use_bias:
-            bias = self.param("bias", nn.initializers.zeros,
-                              (self.features,), jnp.float32)
+        if bias is not None:
             y = y + bias.astype(self.dtype)
         return y
 
@@ -201,15 +204,19 @@ class Conv3d(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, params_only: bool = False):
         if (tuple(self.kernel_size) == (3, 3, 3)
                 and tuple(self.strides) == (1, 1, 1)
                 and self.padding == "SAME"
                 and self.feature_group_count == 1):
             # same module name as nn.Conv's auto-name: param tree unchanged
-            y = _FastConv3dS1(self.features, self.use_bias, self.dtype,
-                              name="Conv_0")(x)
+            fast = _FastConv3dS1(self.features, self.use_bias, self.dtype,
+                                 name="Conv_0")
+            if params_only:
+                return fast(x, params_only=True)
+            y = fast(x)
         else:
+            assert not params_only, "params_only needs the 3^3/s1 fast path"
             y = nn.Conv(self.features, self.kernel_size, strides=self.strides,
                         padding=self.padding, use_bias=self.use_bias,
                         feature_group_count=self.feature_group_count,
@@ -301,15 +308,17 @@ class InstanceNorm(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, params_only: bool = False):
         c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        if params_only:
+            return scale, bias
         xf = x.astype(jnp.float32)
         axes = tuple(range(1, x.ndim - 1))
         mean = xf.mean(axes, keepdims=True)
         var = xf.var(axes, keepdims=True)
         y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
-        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         return (y * scale + bias).astype(self.dtype)
 
 

@@ -71,7 +71,9 @@ def _combine4(p0, p1, p2, p3):
 
 
 def _kernel(xe_hbm, xo_hbm, w_ref, ye_ref, yo_ref, xe_v, xo_v, sems, *,
-            bd: int, bh: int, bwq: int, cin: int, cout: int, out_dtype):
+            bd: int, bh: int, bwq: int, cin: int, cout: int, out_dtype,
+            ep_ref=None, lrelu: bool = False, neg_slope: float = 0.01,
+            dims=None):
     b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
@@ -92,6 +94,36 @@ def _kernel(xe_hbm, xo_hbm, w_ref, ye_ref, yo_ref, xe_v, xo_v, sems, *,
 
     xe = xe_v[:]            # (bd+2, bh+2, bwq+1, C) bf16
     xo = xo_v[:]
+
+    if ep_ref is not None:
+        # input epilogue: per-(sample, channel) scale/shift (+ LeakyReLU)
+        # applied to the RAW conv input in VMEM — absorbs the preceding
+        # InstanceNorm's normalize pass (and its activation). The outer
+        # SAME-padding halo voxels must stay 0 (the reference pads AFTER the
+        # activation), so positions at padded coords 0 / dim+1 are re-zeroed.
+        dd, hh, ww = dims
+        sc = ep_ref[0, 0].astype(jnp.float32)  # (C,)
+        sh = ep_ref[0, 1].astype(jnp.float32)
+
+        def _apply(tile, wphase):
+            v = tile.astype(jnp.float32) * sc + sh
+            if lrelu:
+                v = jnp.where(v >= 0, v, v * neg_slope)
+            gd = (bd * i
+                  + jax.lax.broadcasted_iota(jnp.int32,
+                                             (bd + 2, 1, 1, 1), 0))
+            gh = (bh * j
+                  + jax.lax.broadcasted_iota(jnp.int32,
+                                             (1, bh + 2, 1, 1), 1))
+            gw = (2 * jax.lax.broadcasted_iota(jnp.int32,
+                                               (1, 1, bwq + 1, 1), 2)
+                  + wphase)
+            pad = ((gd == 0) | (gd == dd + 1) | (gh == 0) | (gh == hh + 1)
+                   | (gw == 0) | (gw == ww + 1))
+            return jnp.where(pad, 0.0, v).astype(tile.dtype)
+
+        xe = _apply(xe, 0)
+        xo = _apply(xo, 1)
 
     # w-axis: phases c=0..3 of tile k are xe[k], xo[k], xe[k+1], xo[k+1]
     w0 = xe[:, :, 0:bwq]
@@ -179,11 +211,19 @@ _FORCE_INTERPRET = False
 
 def winograd_conv3d_f23(x: jnp.ndarray, w: jnp.ndarray,
                         block_d: int = 4, block_h: int = 4,
-                        interpret: bool = False) -> jnp.ndarray:
+                        interpret: bool = False,
+                        epilogue=None, lrelu: bool = False,
+                        neg_slope: float = 0.01) -> jnp.ndarray:
     """SAME/stride-1 3^3 conv via the fused F(2^3,3^3) kernel.
 
     x (B, D, H, W, C) with D % block_d == 0, H % block_h == 0, W even and
     (W/2) % 8 == 0; w (3,3,3,C,Co). Returns (B, D, H, W, Co) in x.dtype.
+
+    epilogue=(scale, shift), each (B, C) fp32, applies
+    ``lrelu?(x * scale + shift)`` to the INPUT inside the kernel (zero
+    SAME-padding preserved) — the folded form of a preceding
+    InstanceNorm(+LeakyReLU), so conv -> IN -> lrelu -> conv chains skip the
+    normalize pass over HBM entirely.
     """
     b, d, h, wd, c = x.shape
     co = w.shape[-1]
@@ -200,17 +240,34 @@ def winograd_conv3d_f23(x: jnp.ndarray, w: jnp.ndarray,
 
     grid = (b, d // block_d, h // block_h)
     kern = functools.partial(_kernel, bd=block_d, bh=block_h, bwq=bwq,
-                             cin=c, cout=co, out_dtype=x.dtype)
-
-    ye, yo = pl.pallas_call(
-        kern,
-        grid=grid,
-        in_specs=[
+                             cin=c, cout=co, out_dtype=x.dtype,
+                             lrelu=lrelu, neg_slope=neg_slope,
+                             dims=(d, h, wd))
+    in_specs = [
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((64, c, co), lambda b, i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-        ],
+    ]
+    args = [xe, xo, wino_w]
+    if epilogue is not None:
+        scale, shift = epilogue
+        ep = jnp.stack([scale, shift], axis=1).astype(jnp.float32)  # (B,2,C)
+        in_specs.append(pl.BlockSpec((1, 2, c), lambda b, i, j: (b, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(ep)
+
+        base = kern
+
+        def kern(xe_hbm, xo_hbm, w_ref, ep_ref, ye_ref, yo_ref,
+                 xe_v, xo_v, sems):
+            base(xe_hbm, xo_hbm, w_ref, ye_ref, yo_ref, xe_v, xo_v, sems,
+                 ep_ref=ep_ref)
+
+    ye, yo = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, block_d, block_h, bwq, co),
                          lambda b, i, j: (b, i, j, 0, 0),
@@ -229,7 +286,7 @@ def winograd_conv3d_f23(x: jnp.ndarray, w: jnp.ndarray,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(xe, xo, wino_w)
+    )(*args)
 
     # interleave the two w phases: y[..., 2k + p, :] = (ye, yo)[p][..., k, :]
     y = jnp.stack([ye, yo], axis=-2)          # (B, D, H, W/2, 2, Co)

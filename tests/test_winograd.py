@@ -161,3 +161,55 @@ def test_winograd_primal_gate(monkeypatch):
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gw), np.asarray(rw),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_winograd_f23_input_epilogue():
+    """In-kernel scale/shift+lrelu on the input == lax.conv of the
+    explicitly normalized input (zero SAME-padding preserved)."""
+    from medicalsemseg_tpu.ops.pallas.winograd3d import winograd_conv3d_f23
+
+    b, c, co = 2, 24, 16
+    x = _rand((b, 8, 8, 16, c), seed=20)
+    w = _rand((3, 3, 3, c, co), seed=21, scale=0.2)
+    rng = np.random.default_rng(22)
+    sc = jnp.asarray(rng.normal(size=(b, c)).astype(np.float32) * 0.3 + 1.0)
+    sh = jnp.asarray(rng.normal(size=(b, c)).astype(np.float32) * 0.2)
+
+    xn = x * sc[:, None, None, None, :] + sh[:, None, None, None, :]
+    xn = jnp.where(xn >= 0, xn, xn * 0.01)
+    want = _conv(xn, w)
+    got = winograd_conv3d_f23(x, w, epilogue=(sc, sh), lrelu=True,
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_unet_res_block_fused_matches_plain(monkeypatch):
+    """UnetResBlock(fuse=True) == fuse=False with shared params (fp32,
+    interpret): the folded IN1+lrelu epilogue and winograd conv2 reproduce
+    the conv->IN->lrelu->conv chain."""
+    import jax.numpy as jnp
+    from medicalsemseg_tpu.models.decoders import UnetResBlock
+    from medicalsemseg_tpu.ops.pallas import winograd3d
+
+    monkeypatch.setattr(winograd3d, "_FORCE_INTERPRET", True)
+
+    blk = UnetResBlock(out_channels=24)
+    x = _rand((2, 8, 8, 16, 17), seed=23)
+    variables = jax.jit(lambda r, v: blk.init(r, v))(
+        jax.random.PRNGKey(0), x)
+    plain = blk.apply(variables, x, False)
+    fused = blk.apply(variables, x, True)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(plain),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_decoder_fuse_env_gate(monkeypatch):
+    from medicalsemseg_tpu.models.decoders import decoder_fuse_enabled
+    from medicalsemseg_tpu.ops.pallas import winograd3d
+
+    monkeypatch.delenv("MEDSEG_FUSED_DECODER", raising=False)
+    assert not decoder_fuse_enabled()
+    monkeypatch.setenv("MEDSEG_FUSED_DECODER", "1")
+    monkeypatch.setattr(winograd3d, "_FORCE_INTERPRET", True)
+    assert decoder_fuse_enabled()
