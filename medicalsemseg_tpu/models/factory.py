@@ -168,7 +168,9 @@ def build_model(cfg: Config) -> nn.Module:
                         patch_size=cfg.patch_size3(), qkv_bias=cfg.qkv_bias,
                         drop_path_rate=cfg.drop_path_rate,
                         deep_supervision=cfg.deep_supervision,
-                        ref_quirk_index=cfg.ref_quirk_rel_pos, dtype=dtype)
+                        ref_quirk_index=cfg.ref_quirk_rel_pos,
+                        use_pallas=_use_pallas(cfg),
+                        pallas_train=cfg.pallas_train, dtype=dtype)
 
     if name == "UNETR_Official":
         # the reference's DEFAULT model name, which its factory silently

@@ -201,6 +201,8 @@ class NNFormer(nn.Module):
     drop_path_rate: float = 0.2
     deep_supervision: bool = False
     ref_quirk_index: bool = False
+    use_pallas: bool = False
+    pallas_train: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -223,6 +225,7 @@ class NNFormer(nn.Module):
                 drop_path_rates=tuple(
                     dpr[sum(self.depths[:i]):sum(self.depths[:i + 1])]),
                 ref_quirk_index=self.ref_quirk_index,
+                use_pallas=self.use_pallas, pallas_train=self.pallas_train,
                 dtype=self.dtype, name=f"layers_{i}")(
                     x, deterministic=deterministic)
             skips.append(LayerNorm(dtype=self.dtype, name=f"norm{i}")(x_out))
@@ -254,7 +257,9 @@ class NNFormer(nn.Module):
                     num_heads=dec_heads[j], window_size=dec_windows[j],
                     shift_size=dec_windows[j] // 2, mlp_ratio=self.mlp_ratio,
                     qkv_bias=self.qkv_bias,
-                    ref_quirk_index=self.ref_quirk_index, dtype=self.dtype,
+                    ref_quirk_index=self.ref_quirk_index,
+                    use_pallas=self.use_pallas,
+                    pallas_train=self.pallas_train, dtype=self.dtype,
                     name=f"dec_{j}_blocks_{b}")(
                         x, deterministic=deterministic)[0]
             outs.append(x)

@@ -172,3 +172,29 @@ def test_gcvit_pallas_flag_matches_xla_interpret(monkeypatch):
     for a, b in zip(out_x, out_p):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_nnformer_pallas_flag_matches_xla_interpret(monkeypatch):
+    """NNFormer(use_pallas=True) == use_pallas=False in interpret mode
+    (the official-nnFormer encoder/decoder reuse SwinBlock, so the fused
+    attention + MLP absorption cover them too)."""
+    import medicalsemseg_tpu.ops.pallas.window_attention as pwa
+
+    _patch_interpret(monkeypatch, pwa)
+
+    from medicalsemseg_tpu.models.nnformer import NNFormer
+
+    kw = dict(out_channels=3, in_chans=1, embed_dim=8, depths=(1, 1),
+              num_heads=(2, 2), window_sizes=(2, 2), patch_size=(2, 2, 2),
+              drop_path_rate=0.0)
+    m_x = NNFormer(use_pallas=False, **kw)
+    m_p = NNFormer(use_pallas=True, **kw)
+    rng = np.random.default_rng(5)
+    x_in = (jnp.asarray(rng.normal(size=(1, 8, 8, 8, 1)).astype(np.float32)),
+            None, None)
+    variables = jax.jit(lambda r, x: m_x.init(r, x, deterministic=True))(
+        jax.random.PRNGKey(0), x_in)
+    out_x = m_x.apply(variables, x_in, deterministic=True)
+    out_p = m_p.apply(variables, x_in, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                               rtol=2e-5, atol=2e-5)
