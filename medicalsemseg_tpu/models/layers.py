@@ -107,11 +107,18 @@ class Mlp(nn.Module):
                  residual: bool = False) -> jnp.ndarray:
         out_dim = self.out_dim or x.shape[-1]
         if ln is not None or residual:
-            from medicalsemseg_tpu.ops.pallas.mlp import fused_mlp
+            from medicalsemseg_tpu.ops.pallas.mlp import (
+                fused_mlp,
+                fused_mlp_trainable)
 
             w1, b1 = _DenseParams(x.shape[-1], self.hidden_dim,
                                   name="Dense_0")()
             w2, b2 = _DenseParams(self.hidden_dim, out_dim, name="Dense_1")()
+            if not deterministic and ln is not None:
+                # training: custom VJP recomputes the hidden activations
+                # tile-by-tile in the backward (callers gate on dropout == 0)
+                return fused_mlp_trainable(x.astype(self.dtype), ln[0],
+                                           ln[1], w1, b1, w2, b2, residual)
             return fused_mlp(x.astype(self.dtype), w1, b1, w2, b2,
                              ln_scale=None if ln is None else ln[0],
                              ln_bias=None if ln is None else ln[1],

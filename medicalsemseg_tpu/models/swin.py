@@ -342,14 +342,28 @@ class SwinBlock(nn.Module):
 
         ln2 = LayerNorm(dtype=self.dtype)
         mlp = make_mlp(self.mlp_type, int(c * self.mlp_ratio), self.drop, self.dtype)
-        if (self.use_pallas and deterministic and self.mlp_type == "dense"
-                and x.dtype == self.dtype):
-            # inference: LN -> fc1 -> GELU -> fc2 -> +residual as ONE fused
-            # kernel over VMEM token tiles (ops/pallas/mlp.py)
+        if not deterministic and self.pallas_train and self.mlp_type == "dense":
+            from medicalsemseg_tpu.ops.pallas.mlp import fused_mlp_train_fits
+            mlp_train_fuse = (self.drop == 0.0 and fused_mlp_train_fits(
+                c, int(c * self.mlp_ratio)))
+        else:
+            mlp_train_fuse = False
+        if (self.use_pallas and self.mlp_type == "dense"
+                and x.dtype == self.dtype
+                and (deterministic or mlp_train_fuse)):
+            # LN -> fc1 -> GELU -> fc2 -> +residual as ONE fused kernel over
+            # VMEM token tiles (ops/pallas/mlp.py); training goes through
+            # the custom VJP, with the shortcut outside when DropPath lives
             scale2, bias2 = ln2(x, params_only=True)
-            x = mlp(x.reshape(b, d * h * w, c), deterministic=True,
-                    grid=(d, h, w), ln=(scale2, bias2),
-                    residual=True).reshape(b, d, h, w, c)
+            res_in = deterministic or self.drop_path_rate == 0.0
+            out = mlp(x.reshape(b, d * h * w, c), deterministic=deterministic,
+                      grid=(d, h, w), ln=(scale2, bias2),
+                      residual=res_in).reshape(b, d, h, w, c)
+            if res_in:
+                x = out
+            else:
+                x = x + DropPath(self.drop_path_rate)(
+                    out, deterministic=deterministic)
         else:
             mlp_in = ln2(x).reshape(b, d * h * w, c)
             mlp_out = mlp(mlp_in, deterministic=deterministic, grid=(d, h, w))

@@ -88,3 +88,46 @@ def test_mlp_module_fused_path_matches_xla(monkeypatch):
                         lnp["LayerNorm_0"]["bias"]), residual=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("residual", [True, False])
+def test_fused_mlp_trainable_grads(residual):
+    """fused_mlp_trainable grads == jax.grad of LN -> MLP [-> +x]."""
+    from medicalsemseg_tpu.ops.pallas.mlp import fused_mlp_trainable
+
+    rng = np.random.default_rng(3)
+    m, c, hdim = 40, 8, 32
+    x = jnp.asarray(rng.normal(size=(1, m, c)).astype(np.float32))
+    p = _params(rng, c, hdim, c)
+    scale = jnp.asarray(rng.normal(size=(c,)).astype(np.float32) * 0.3 + 1.0)
+    bias = jnp.asarray(rng.normal(size=(c,)).astype(np.float32) * 0.1)
+    cot = jnp.asarray(rng.normal(size=(1, m, c)).astype(np.float32))
+
+    def ln_ref(x, s, b_):
+        xf = x.astype(jnp.float32)
+        mu = xf.mean(-1, keepdims=True)
+        var = jnp.maximum(0.0, (xf * xf).mean(-1, keepdims=True) - mu * mu)
+        return (xf - mu) * (jax.lax.rsqrt(var + 1e-5) * s) + b_
+
+    def loss_pallas(x, scale, bias, w1, b1, w2, b2):
+        y = fused_mlp_trainable(x, scale, bias, w1, b1, w2, b2, residual,
+                                1e-5, True)
+        return (y * cot).sum()
+
+    def loss_xla(x, scale, bias, w1, b1, w2, b2):
+        xn = ln_ref(x, scale, bias)
+        h = jax.nn.gelu(xn @ w1 + b1, approximate=False)
+        y = h @ w2 + b2
+        if residual:
+            y = y + x
+        return (y * cot).sum()
+
+    args = (x, scale, bias, jnp.asarray(p["w1"]), jnp.asarray(p["b1"]),
+            jnp.asarray(p["w2"]), jnp.asarray(p["b2"]))
+    nums = tuple(range(7))
+    g_pallas = jax.grad(loss_pallas, argnums=nums)(*args)
+    g_xla = jax.grad(loss_xla, argnums=nums)(*args)
+    names = ("dx", "dscale", "dbias", "dw1", "db1", "dw2", "db2")
+    for name, a, b_ in zip(names, g_pallas, g_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)

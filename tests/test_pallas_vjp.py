@@ -131,6 +131,9 @@ def test_ln_vjp_matches_xla_grads(monkeypatch, shift, residual):
 def test_encoder_pallas_train_matches_xla_grads(monkeypatch):
     """SwinEncoder3D(pallas_train=True) grads == XLA grads in train mode
     (exercises the LN-absorbed custom VJP through SwinBlock)."""
+    import medicalsemseg_tpu.ops.pallas.mlp as pmlp
+
+    monkeypatch.setattr(pmlp, "_FORCE_INTERPRET", True)
     orig_ln = pwa.fused_window_attention_ln_trainable
     orig_t = pwa.fused_window_attention_trainable
 
