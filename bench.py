@@ -154,19 +154,22 @@ def main():
         # block_until_ready does not actually block on the axon tunnel
         return out.mean()
 
-    vol = jax.device_put(vol)  # resident once; iterations vary only a scalar
-    _ = float(run(variables, vol, affine, jnp.float32(0)))  # compile + warm
+    if os.environ.get("MEDSEG_BENCH_SW", "1") == "1":
+        vol = jax.device_put(vol)  # resident once; iterations vary a scalar
+        _ = float(run(variables, vol, affine, jnp.float32(0)))  # compile+warm
 
-    rt = _measure_roundtrip()
+        rt = _measure_roundtrip()
 
-    n_iters = 5
-    t0 = time.time()
-    for i in range(n_iters):
-        _ = float(run(variables, vol, affine, jnp.float32(i)))
-    dt = (time.time() - t0) / n_iters - rt
-    assert dt > 0, "timing anomaly: round-trip exceeded measured iteration"
+        n_iters = 5
+        t0 = time.time()
+        for i in range(n_iters):
+            _ = float(run(variables, vol, affine, jnp.float32(i)))
+        dt = (time.time() - t0) / n_iters - rt
+        assert dt > 0, "timing anomaly: round-trip exceeded iteration"
 
-    vols_per_sec = 1.0 / dt
+        vols_per_sec = 1.0 / dt
+    else:
+        vols_per_sec = float("nan")
 
     from medicalsemseg_tpu.infer.sliding_window import (
         dense_patch_starts, scan_interval)

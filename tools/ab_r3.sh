@@ -1,0 +1,39 @@
+#!/bin/bash
+# Round-3 A/B matrix on the real TPU chip. Run unattended when the axon
+# tunnel is up; one JSON line per configuration lands in tools/ab_r3.jsonl.
+#
+#   SW (inference):  baseline | fused decoder (winograd+IN epilogue) |
+#                    winograd primal | fused decoder + winograd primal
+#   train (bs1):     baseline | winograd train | dots27 train
+#
+# Each variant is its own process (the MEDSEG_* gates are read at import).
+set -u
+cd "$(dirname "$0")/.."
+OUT=tools/ab_r3.jsonl
+: > "$OUT"
+
+run() {
+  local name="$1"; shift
+  echo "=== $name ($*)" >&2
+  local line
+  line=$(env "$@" PYTHONPATH="$PWD:${PYTHONPATH:-}" \
+         timeout 2700 python bench.py 2>/dev/null | tail -1)
+  if [ -n "$line" ]; then
+    printf '{"config": "%s", "result": %s}\n' "$name" "$line" >> "$OUT"
+  else
+    printf '{"config": "%s", "result": null}\n' "$name" >> "$OUT"
+  fi
+}
+
+# --- sliding-window A/B (skip the train bench for speed) ---
+run sw_baseline               MEDSEG_BENCH_TRAIN=0
+run sw_fused_decoder          MEDSEG_BENCH_TRAIN=0 MEDSEG_FUSED_DECODER=1
+run sw_winograd               MEDSEG_BENCH_TRAIN=0 MEDSEG_WINOGRAD=1
+run sw_fused_plus_winograd    MEDSEG_BENCH_TRAIN=0 MEDSEG_FUSED_DECODER=1 MEDSEG_WINOGRAD=1
+
+# --- train-step A/B (SW bench skipped via MEDSEG_BENCH_SW=0) ---
+run train_baseline            MEDSEG_BENCH_SW=0 MEDSEG_BENCH_TRAIN_BS4=0
+run train_winograd            MEDSEG_BENCH_SW=0 MEDSEG_BENCH_TRAIN_BS4=0 MEDSEG_WINOGRAD_TRAIN=1
+run train_dots27              MEDSEG_BENCH_SW=0 MEDSEG_BENCH_TRAIN_BS4=0 MEDSEG_DOTS27_TRAIN=1
+
+echo "done; results in $OUT" >&2
