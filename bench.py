@@ -97,9 +97,30 @@ def _train_bench(cfg, bs: int = 1) -> dict:
     except Exception:
         pass
 
-    # warm/compile
-    state, m = step(state, batch, jax.random.PRNGKey(2))
-    _ = float(m["loss"])
+    # warm/compile, with graceful degradation if a kernel set the compiler
+    # rejects on this hardware: first drop the round-3 absorption paths
+    # (MEDSEG_ABSORB=0, re-trace), then pallas_train entirely
+    fallback = None
+    try:
+        state, m = step(state, batch, jax.random.PRNGKey(2))
+        _ = float(m["loss"])
+    except Exception:
+        os.environ["MEDSEG_ABSORB"] = "0"
+        step = jax.jit(make_train_step(cfg), donate_argnums=(0,))
+        try:
+            state, m = step(state, batch, jax.random.PRNGKey(2))
+            _ = float(m["loss"])
+            fallback = "no_absorb"
+        except Exception:
+            cfg = cfg.replace(pallas_train=False)
+            model = build_model(cfg)
+            state, _sched = create_train_state(
+                cfg, model, jax.random.PRNGKey(0), x_probe,
+                steps_per_epoch=100)
+            step = jax.jit(make_train_step(cfg), donate_argnums=(0,))
+            state, m = step(state, batch, jax.random.PRNGKey(2))
+            _ = float(m["loss"])
+            fallback = "no_pallas_train"
     rt = _measure_roundtrip()
 
     n_iters = 10
@@ -121,6 +142,8 @@ def _train_bench(cfg, bs: int = 1) -> dict:
     if flops is not None:
         out[f"train_flops_per_step{suffix}"] = flops
         out[f"train_mfu{suffix}"] = round(flops / dt / (peak_tflops * 1e12), 4)
+    if fallback:
+        out[f"train_fallback{suffix}"] = fallback
     return out
 
 
@@ -142,8 +165,7 @@ def main():
 
     from medicalsemseg_tpu.infer.sliding_window import sliding_window_inference
 
-    @jax.jit
-    def run(variables, vol, affine, salt):
+    def _run(variables, vol, affine, salt):
         def predictor(model_in):
             return model.apply(variables, model_in, deterministic=True)
 
@@ -154,9 +176,20 @@ def main():
         # block_until_ready does not actually block on the axon tunnel
         return out.mean()
 
+    run = jax.jit(_run)
+
+    sw_fallback = None
     if os.environ.get("MEDSEG_BENCH_SW", "1") == "1":
         vol = jax.device_put(vol)  # resident once; iterations vary a scalar
-        _ = float(run(variables, vol, affine, jnp.float32(0)))  # compile+warm
+        try:
+            _ = float(run(variables, vol, affine, jnp.float32(0)))  # warm
+        except Exception:
+            # drop the round-3 absorption kernels and re-trace (see
+            # ops/pallas/__init__.absorb_enabled)
+            os.environ["MEDSEG_ABSORB"] = "0"
+            run = jax.jit(_run)
+            _ = float(run(variables, vol, affine, jnp.float32(0)))
+            sw_fallback = "no_absorb"
 
         rt = _measure_roundtrip()
 
@@ -178,8 +211,10 @@ def main():
     cpu_vols_per_sec = 1.0 / (n_windows * _load_cpu_baseline())
 
     extra = {}
+    if sw_fallback:
+        extra["sw_fallback"] = sw_fallback
     if os.environ.get("MEDSEG_BENCH_TRAIN", "1") == "1":
-        extra = _train_bench(cfg)
+        extra = {**extra, **_train_bench(cfg)}
         if os.environ.get("MEDSEG_BENCH_TRAIN_BS4", "1") == "1":
             extra.update(_train_bench(cfg, bs=4))
 

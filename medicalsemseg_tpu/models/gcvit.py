@@ -264,7 +264,9 @@ class GCViTBlock(nn.Module):
                 and d % ws == 0 and h % ws == 0 and w % ws == 0)
         # with no layer-scale the kernel also absorbs LN1 and the shortcut
         # (see models/swin.py SwinBlock)
-        absorb = fuse and self.layer_scale is None and x.dtype == self.dtype
+        from medicalsemseg_tpu.ops.pallas import absorb_enabled
+        absorb = (fuse and self.layer_scale is None
+                  and x.dtype == self.dtype and absorb_enabled())
 
         if self.layer_scale is not None:
             g1 = self.param("gamma1", nn.initializers.constant(self.layer_scale),
@@ -292,7 +294,8 @@ class GCViTBlock(nn.Module):
         mlp = Mlp(hidden_dim=int(c * self.mlp_ratio), dropout=self.drop,
                   dtype=self.dtype, name="mlp")
         ln2 = LayerNorm(dtype=self.dtype, name="norm2")
-        if self.use_pallas and deterministic and x.dtype == self.dtype:
+        if (self.use_pallas and deterministic and x.dtype == self.dtype
+                and absorb_enabled()):
             s2, b2 = ln2(x, params_only=True)
             if self.layer_scale is None:
                 return mlp(x.reshape(b, -1, c), ln=(s2, b2),

@@ -300,8 +300,10 @@ class SwinBlock(nn.Module):
         # the shortcut add each saved a full HBM round-trip over the volume
         # (and, under training, the same again in the backward). The
         # shortcut stays outside when DropPath is live.
+        from medicalsemseg_tpu.ops.pallas import absorb_enabled
         absorb = (fuse and (deterministic or train_absorb)
-                  and (dp, hp, wp) == (d, h, w) and x.dtype == self.dtype)
+                  and (dp, hp, wp) == (d, h, w) and x.dtype == self.dtype
+                  and absorb_enabled())
         if absorb:
             res_in = deterministic or self.drop_path_rate == 0.0
             scale, bias = ln1(x, params_only=True)
@@ -350,7 +352,8 @@ class SwinBlock(nn.Module):
             mlp_train_fuse = False
         if (self.use_pallas and self.mlp_type == "dense"
                 and x.dtype == self.dtype
-                and (deterministic or mlp_train_fuse)):
+                and (deterministic or mlp_train_fuse)
+                and absorb_enabled()):
             # LN -> fc1 -> GELU -> fc2 -> +residual as ONE fused kernel over
             # VMEM token tiles (ops/pallas/mlp.py); training goes through
             # the custom VJP, with the shortcut outside when DropPath lives
