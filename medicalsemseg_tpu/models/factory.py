@@ -149,7 +149,8 @@ def build_model(cfg: Config) -> nn.Module:
             patch_size=cfg.patch_size3(), in_chans=cfg.in_chans,
             embed_dim=cfg.hidden_dim, depths=tuple(cfg.depths),
             focal_windows=cfg.window_sizes(),
-            drop_path_rate=cfg.drop_path_rate, dtype=dtype)
+            drop_path_rate=cfg.drop_path_rate,
+            use_pallas=_use_pallas(cfg), dtype=dtype)
         return SwinUNETRCustom(
             encoder=encoder, out_channels=cfg.output_dim,
             hidden_size=cfg.hidden_dim, patch_size=cfg.patch_size3(),
@@ -181,7 +182,8 @@ def build_model(cfg: Config) -> nn.Module:
                      feature_size=max(cfg.hidden_dim // 3, 8),
                      hidden_size=768, depth=12, num_heads=12,
                      patch_size=(16, 16, 16),
-                     drop_path_rate=cfg.drop_path_rate, dtype=dtype)
+                     drop_path_rate=cfg.drop_path_rate,
+                     use_pallas=_use_pallas(cfg), dtype=dtype)
 
     if name == "SwinUNETR_Official":
         # the vendored MONAI SwinUNETR (981 LoC dead in the reference,

@@ -80,6 +80,7 @@ class FocalModulationBlock(nn.Module):
     focal_window: int = 9
     use_layerscale: bool = False
     layerscale_value: float = 1e-4
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -104,10 +105,23 @@ class FocalModulationBlock(nn.Module):
         x = shortcut + DropPath(self.drop_path_rate)(
             g1 * xn, deterministic=deterministic)
 
-        mlp_in = LayerNorm(dtype=self.dtype, name="norm2")(x).reshape(b, -1, c)
-        mlp_out = Mlp(hidden_dim=int(c * self.mlp_ratio), dropout=self.drop,
-                      dtype=self.dtype, name="mlp")(
-            mlp_in, deterministic=deterministic).reshape(b, d, h, w, c)
+        ln2 = LayerNorm(dtype=self.dtype, name="norm2")
+        mlp = Mlp(hidden_dim=int(c * self.mlp_ratio), dropout=self.drop,
+                  dtype=self.dtype, name="mlp")
+        from medicalsemseg_tpu.ops.pallas import absorb_enabled
+        if (self.use_pallas and deterministic and x.dtype == self.dtype
+                and absorb_enabled()):
+            # fused LN->fc1->GELU->fc2[->+x] kernel (ops/pallas/mlp.py)
+            s2, b2 = ln2(x, params_only=True)
+            if not self.use_layerscale:
+                return mlp(x.reshape(b, -1, c), ln=(s2, b2),
+                           residual=True).reshape(b, d, h, w, c)
+            h_out = mlp(x.reshape(b, -1, c),
+                        ln=(s2, b2)).reshape(b, d, h, w, c)
+            return x + g2 * h_out
+        mlp_in = ln2(x).reshape(b, -1, c)
+        mlp_out = mlp(mlp_in, deterministic=deterministic).reshape(
+            b, d, h, w, c)
         return x + DropPath(self.drop_path_rate)(
             g2 * mlp_out, deterministic=deterministic)
 
@@ -127,6 +141,7 @@ class FocalNet3D(nn.Module):
     focal_levels: Tuple[int, ...] = (2, 2, 2, 2)
     focal_windows: Tuple[int, ...] = (9, 9, 9, 9)
     use_layerscale: bool = False
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -147,7 +162,8 @@ class FocalNet3D(nn.Module):
                     drop_path_rate=dpr[sum(self.depths[:i]) + j],
                     focal_level=self.focal_levels[i],
                     focal_window=self.focal_windows[i],
-                    use_layerscale=self.use_layerscale, dtype=self.dtype,
+                    use_layerscale=self.use_layerscale,
+                    use_pallas=self.use_pallas, dtype=self.dtype,
                     name=f"layers_{i}_blocks_{j}")(x, deterministic)
             # stage downsampler: PatchEmbed3D(patch 2) with norm
             # (reference BasicLayer downsample, :231-238)

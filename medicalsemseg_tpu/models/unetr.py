@@ -71,6 +71,7 @@ class UNETR(nn.Module):
     patch_size: Tuple[int, int, int] = (16, 16, 16)
     qkv_bias: bool = True
     drop_path_rate: float = 0.0
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -85,7 +86,8 @@ class UNETR(nn.Module):
                         drop_path_rate=self.drop_path_rate,
                         out_indices=(self.depth // 4, self.depth // 2,
                                      3 * self.depth // 4, self.depth),
-                        dtype=self.dtype, name="vit")
+                        use_pallas=self.use_pallas, dtype=self.dtype,
+                        name="vit")
         z3, z6, z9, z12 = encoder(x_in, deterministic=deterministic)
 
         enc1 = UnetResBlock(f, dtype=self.dtype, name="encoder1")(vol)

@@ -68,6 +68,7 @@ class TransformerBlock(nn.Module):
     attn_drop: float = 0.0
     drop_path_rate: float = 0.0
     init_values: Optional[float] = None  # layer-scale (ViT-MAE option)
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -84,10 +85,19 @@ class TransformerBlock(nn.Module):
                           self.drop, self.dtype, name="attn")(
             LayerNorm(dtype=self.dtype, name="norm1")(x), deterministic)
         x = x + DropPath(self.drop_path_rate)(g1 * h, deterministic=deterministic)
-        h = Mlp(hidden_dim=int(c * self.mlp_ratio), dropout=self.drop,
-                dtype=self.dtype, name="mlp")(
-            LayerNorm(dtype=self.dtype, name="norm2")(x),
-            deterministic=deterministic)
+        mlp = Mlp(hidden_dim=int(c * self.mlp_ratio), dropout=self.drop,
+                  dtype=self.dtype, name="mlp")
+        ln2 = LayerNorm(dtype=self.dtype, name="norm2")
+        from medicalsemseg_tpu.ops.pallas import absorb_enabled
+        if (self.use_pallas and deterministic and x.dtype == self.dtype
+                and absorb_enabled()):
+            # fused LN->fc1->GELU->fc2[->+x] kernel (ops/pallas/mlp.py); the
+            # global self-attention stays XLA (no windowing to tile on)
+            s2, b2 = ln2(x, params_only=True)
+            if self.init_values is None:
+                return mlp(x, ln=(s2, b2), residual=True)
+            return x + g2 * mlp(x, ln=(s2, b2))
+        h = mlp(ln2(x), deterministic=deterministic)
         return x + DropPath(self.drop_path_rate)(g2 * h, deterministic=deterministic)
 
 
@@ -112,6 +122,7 @@ class ViT3D(nn.Module):
     out_indices: Tuple[int, ...] = (3, 6, 9, 12)
     use_cls_token: bool = False  # ViT-MAE variant
     init_values: Optional[float] = None
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -140,7 +151,8 @@ class ViT3D(nn.Module):
                 dim=c, num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
                 qkv_bias=self.qkv_bias, drop=self.drop_rate,
                 attn_drop=self.attn_drop_rate, drop_path_rate=dpr[i],
-                init_values=self.init_values, dtype=self.dtype,
+                init_values=self.init_values, use_pallas=self.use_pallas,
+                dtype=self.dtype,
                 name=f"blocks_{i}")(tokens, deterministic)
             if (i + 1) in self.out_indices:
                 t = tokens[:, 1:] if self.use_cls_token else tokens

@@ -198,3 +198,52 @@ def test_nnformer_pallas_flag_matches_xla_interpret(monkeypatch):
     out_p = m_p.apply(variables, x_in, deterministic=True)
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_focalnet_pallas_flag_matches_xla_interpret(monkeypatch):
+    """FocalNet3D(use_pallas=True) == use_pallas=False (fused-MLP path)."""
+    import medicalsemseg_tpu.ops.pallas.window_attention as pwa
+
+    _patch_interpret(monkeypatch, pwa)
+
+    from medicalsemseg_tpu.models.focalnet import FocalNet3D
+
+    kw = dict(patch_size=(2, 2, 2), in_chans=1, embed_dim=8, depths=(1, 1),
+              focal_levels=(2, 2), focal_windows=(3, 3), drop_path_rate=0.0)
+    m_x = FocalNet3D(use_pallas=False, **kw)
+    m_p = FocalNet3D(use_pallas=True, **kw)
+    rng = np.random.default_rng(6)
+    x_in = (jnp.asarray(rng.normal(size=(1, 8, 8, 8, 1)).astype(np.float32)),
+            None, None)
+    variables = jax.jit(lambda r, x: m_x.init(r, x, deterministic=True))(
+        jax.random.PRNGKey(0), x_in)
+    out_x = m_x.apply(variables, x_in, deterministic=True)
+    out_p = m_p.apply(variables, x_in, deterministic=True)
+    for a, b in zip(out_x, out_p):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_vit_pallas_flag_matches_xla_interpret(monkeypatch):
+    """ViT3D(use_pallas=True) == use_pallas=False (fused-MLP path; the
+    global attention stays XLA)."""
+    import medicalsemseg_tpu.ops.pallas.window_attention as pwa
+
+    _patch_interpret(monkeypatch, pwa)
+
+    from medicalsemseg_tpu.models.vit import ViT3D
+
+    kw = dict(patch_size=(4, 4, 4), in_chans=1, hidden_size=16, depth=2,
+              num_heads=2, out_indices=(1, 2), drop_path_rate=0.0)
+    m_x = ViT3D(use_pallas=False, **kw)
+    m_p = ViT3D(use_pallas=True, **kw)
+    rng = np.random.default_rng(7)
+    x_in = (jnp.asarray(rng.normal(size=(1, 8, 8, 8, 1)).astype(np.float32)),
+            None, None)
+    variables = jax.jit(lambda r, x: m_x.init(r, x, deterministic=True))(
+        jax.random.PRNGKey(0), x_in)
+    out_x = m_x.apply(variables, x_in, deterministic=True)
+    out_p = m_p.apply(variables, x_in, deterministic=True)
+    for a, b in zip(out_x, out_p):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-5, atol=2e-5)
