@@ -192,3 +192,48 @@ def test_vjp_forward_value_matches(monkeypatch):
     y2 = pwa.fused_window_attention(x, wqkv, bqkv, wproj, bproj, table, ws,
                                     nh, 0, 4, True)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-6)
+
+
+@pytest.mark.parametrize("mode", ["conv", "full"])
+def test_absorbed_vjps_under_remat(monkeypatch, mode):
+    """The LN-absorbed attention + MLP custom VJPs compose with the
+    jax.checkpoint policies the production train step uses (remat=conv is
+    the Config default)."""
+    import medicalsemseg_tpu.ops.pallas.mlp as pmlp
+
+    monkeypatch.setattr(pmlp, "_FORCE_INTERPRET", True)
+    orig_ln = pwa.fused_window_attention_ln_trainable
+    orig_t = pwa.fused_window_attention_trainable
+    monkeypatch.setattr(pwa, "fused_window_attention_ln_trainable",
+                        lambda *a: orig_ln(*a[:12], True, *a[13:]))
+    monkeypatch.setattr(
+        pwa, "fused_window_attention_trainable",
+        lambda *a, **k: orig_t(*a[:10], True))
+
+    from medicalsemseg_tpu.models.swin import SwinEncoder3D
+
+    kw = dict(patch_size=(2, 2, 2), embed_dim=8, depths=(1, 1),
+              num_heads=(2, 2), window_sizes=(2, 2), qkv_bias=True,
+              drop_path_rate=0.0)
+    rng = np.random.default_rng(9)
+    vol = jnp.asarray(rng.normal(size=(1, 8, 8, 8, 1)).astype(np.float32))
+    x_in = (vol, None, None)
+
+    enc_ref = SwinEncoder3D(use_pallas=False, remat="none", **kw)
+    variables = jax.jit(lambda r, x: enc_ref.init(r, x, deterministic=True))(
+        jax.random.PRNGKey(0), x_in)
+
+    def loss(module, v):
+        outs = module.apply(v, x_in, deterministic=False,
+                            rngs={"dropout": jax.random.PRNGKey(1)})
+        return sum((o.astype(jnp.float32) ** 2).sum() for o in outs)
+
+    g_ref = jax.grad(lambda v: loss(enc_ref, v))(variables)
+    enc = SwinEncoder3D(use_pallas=True, pallas_train=True, remat=mode, **kw)
+    g = jax.grad(lambda v: loss(enc, v))(variables)
+    flat_r = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_p = jax.tree_util.tree_leaves_with_path(g)
+    for (kr, ar), (kp, ap) in zip(flat_r, flat_p):
+        np.testing.assert_allclose(
+            np.asarray(ap), np.asarray(ar), rtol=5e-4, atol=5e-5,
+            err_msg=jax.tree_util.keystr(kr))
