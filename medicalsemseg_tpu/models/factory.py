@@ -195,7 +195,8 @@ def build_model(cfg: Config) -> nn.Module:
             out_channels=cfg.output_dim, in_chans=cfg.in_chans,
             feature_size=cfg.hidden_dim, depths=tuple(cfg.depths),
             num_heads=tuple(cfg.num_heads),
-            drop_path_rate=cfg.drop_path_rate, dtype=dtype)
+            drop_path_rate=cfg.drop_path_rate,
+            use_pallas=_use_pallas(cfg), dtype=dtype)
 
     if name == "LRGFormerUNETR":
         # local/region/global joint-attention encoder (broken-dead upstream,
@@ -227,7 +228,7 @@ def build_model(cfg: Config) -> nn.Module:
             window=(w, w, w), patch_size=cfg.patch_size3(),
             mlp_ratio=cfg.mlp_ratio, qkv_bias=cfg.qkv_bias,
             drop_path_rate=cfg.drop_path_rate, ape=cfg.abs_pos_emb,
-            dtype=dtype)
+            use_pallas=_use_pallas(cfg), dtype=dtype)
         return SwinUNETRCustom(
             encoder=encoder, out_channels=cfg.output_dim,
             hidden_size=cfg.hidden_dim, patch_size=cfg.patch_size3(),

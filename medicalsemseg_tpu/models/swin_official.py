@@ -182,6 +182,7 @@ class OfficialSwinBlock(nn.Module):
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
     drop_path_rate: float = 0.0
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -209,10 +210,18 @@ class OfficialSwinBlock(nn.Module):
         x = shortcut + DropPath(self.drop_path_rate)(
             xn, deterministic=deterministic)
 
-        mlp_in = LayerNorm(dtype=self.dtype, name="norm2")(x).reshape(
-            b, d * h * w, c)
-        mlp_out = Mlp(int(c * self.mlp_ratio), dtype=self.dtype,
-                      name="mlp")(mlp_in, deterministic=deterministic)
+        ln2 = LayerNorm(dtype=self.dtype, name="norm2")
+        mlp = Mlp(int(c * self.mlp_ratio), dtype=self.dtype, name="mlp")
+        from medicalsemseg_tpu.ops.pallas import absorb_enabled
+        if (self.use_pallas and deterministic and x.dtype == self.dtype
+                and absorb_enabled()):
+            # fused LN->fc1->GELU->fc2->+x kernel (ops/pallas/mlp.py); the
+            # tuple-window attention stays XLA (cubic-window kernel only)
+            s2, b2 = ln2(x, params_only=True)
+            return mlp(x.reshape(b, d * h * w, c), ln=(s2, b2),
+                       residual=True).reshape(b, d, h, w, c)
+        mlp_in = ln2(x).reshape(b, d * h * w, c)
+        mlp_out = mlp(mlp_in, deterministic=deterministic)
         return x + DropPath(self.drop_path_rate)(
             mlp_out.reshape(b, d, h, w, c), deterministic=deterministic)
 
@@ -253,6 +262,7 @@ class SwinViTOfficial(nn.Module):
     qkv_bias: bool = True
     drop_path_rate: float = 0.0
     normalize: bool = True
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -280,7 +290,7 @@ class SwinViTOfficial(nn.Module):
                     shift=(0, 0, 0) if i % 2 == 0 else shift,
                     mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
                     drop_path_rate=float(dpr[sum(self.depths[:k]) + i]),
-                    dtype=self.dtype,
+                    use_pallas=self.use_pallas, dtype=self.dtype,
                     name=f"layers{k + 1}_blocks{i}")(x, deterministic)
             x = OfficialPatchMerging(dim, dtype=self.dtype,
                                      name=f"layers{k + 1}_downsample")(x)
@@ -300,6 +310,7 @@ class SwinUNETROfficial(nn.Module):
     num_heads: Sequence[int] = (3, 6, 12, 24)
     drop_path_rate: float = 0.0
     normalize: bool = True
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -309,8 +320,8 @@ class SwinUNETROfficial(nn.Module):
         z = SwinViTOfficial(
             in_chans=self.in_chans, embed_dim=fs, depths=self.depths,
             num_heads=self.num_heads, drop_path_rate=self.drop_path_rate,
-            normalize=self.normalize, dtype=self.dtype,
-            name="swinViT")(vol, deterministic)
+            normalize=self.normalize, use_pallas=self.use_pallas,
+            dtype=self.dtype, name="swinViT")(vol, deterministic)
 
         enc0 = UnetResBlock(fs, dtype=self.dtype, name="encoder1")(
             vol.astype(self.dtype))

@@ -79,6 +79,7 @@ class VideoSwin3D(nn.Module):
     drop_path_rate: float = 0.1
     patch_norm: bool = True
     ape: bool = False
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -110,7 +111,7 @@ class VideoSwin3D(nn.Module):
                     shift=(0, 0, 0) if i % 2 == 0 else shift,
                     mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
                     drop_path_rate=float(dpr[sum(self.depths[:k]) + i]),
-                    dtype=self.dtype,
+                    use_pallas=self.use_pallas, dtype=self.dtype,
                     name=f"layers_{k}_blocks_{i}")(x, deterministic)
             # downsample after EVERY stage (swin_3d.py:564: unconditional)
             x = VideoPatchMerging(dim, dtype=self.dtype,

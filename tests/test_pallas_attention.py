@@ -247,3 +247,37 @@ def test_vit_pallas_flag_matches_xla_interpret(monkeypatch):
     for a, b in zip(out_x, out_p):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_official_swin_pallas_flag_matches_xla_interpret(monkeypatch):
+    """SwinViTOfficial / VideoSwin3D with use_pallas=True == False
+    (fused-MLP path; the tuple-window attention stays XLA)."""
+    import medicalsemseg_tpu.ops.pallas.window_attention as pwa
+
+    _patch_interpret(monkeypatch, pwa)
+
+    from medicalsemseg_tpu.models.swin_official import SwinViTOfficial
+    from medicalsemseg_tpu.models.video_swin import VideoSwin3D
+
+    rng = np.random.default_rng(8)
+    vol = jnp.asarray(rng.normal(size=(1, 8, 8, 8, 1)).astype(np.float32))
+
+    for cls, kw, x_in in (
+        (SwinViTOfficial,
+         dict(in_chans=1, embed_dim=8, depths=(1, 1), num_heads=(2, 2),
+              window=(2, 2, 2), drop_path_rate=0.0), vol),
+        (VideoSwin3D,
+         dict(in_chans=1, embed_dim=8, depths=(1, 1), num_heads=(2, 2),
+              window=(2, 2, 2), patch_size=(2, 2, 2), drop_path_rate=0.0),
+         (vol, None, None)),
+    ):
+        m_x = cls(use_pallas=False, **kw)
+        m_p = cls(use_pallas=True, **kw)
+        variables = jax.jit(
+            lambda r, x, m=m_x: m.init(r, x, deterministic=True))(
+                jax.random.PRNGKey(0), x_in)
+        out_x = m_x.apply(variables, x_in, deterministic=True)
+        out_p = m_p.apply(variables, x_in, deterministic=True)
+        for a, b in zip(out_x, out_p):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=2e-5, atol=2e-5)
