@@ -301,15 +301,21 @@ def _bwd_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bias_ref, dy_ref,
     blk = pl.program_id(0)
 
     # scratch layout: one flat fp32 buffer holding all weight-grad
-    # accumulators: dwqkv (c,3c) | dwproj (c,c) | dbqkv (1,3c) | dbproj (1,c)
-    # [| dscale (1,c) | dbias_ln (1,c) when LN is absorbed]
-    # plus dbias (nh, n, n) as a second scratch
-    wacc, bacc = acc_ref
+    # accumulators: dwqkv (c,3c) | dwproj (c,c) | dbqkv (1,3c) | dbproj (1,c);
+    # dbias (nh, n, n) as a second scratch; when LN is absorbed, a dedicated
+    # (2, c) scratch accumulates dscale/dbias_ln (sublane-aligned)
+    if ln_ref is not None:
+        wacc, bacc, lnacc = acc_ref
+    else:
+        wacc, bacc = acc_ref
+        lnacc = None
 
     @pl.when(blk == 0)
     def _init():
         wacc[:] = jnp.zeros_like(wacc)
         bacc[:] = jnp.zeros_like(bacc)
+        if lnacc is not None:
+            lnacc[:] = jnp.zeros_like(lnacc)
 
     if ln_ref is not None:
         xr32 = x_ref[:].reshape(wpb * n, c).astype(jnp.float32)
@@ -387,8 +393,8 @@ def _bwd_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bias_ref, dy_ref,
         m1 = dxhat.mean(axis=-1, keepdims=True)
         m2 = (dxhat * xhat).mean(axis=-1, keepdims=True)
         dx = (dxhat - m1 - xhat * m2) * inv
-        wacc[2 * c + 2, 0:c] += (dxn * xhat).sum(axis=0)
-        wacc[2 * c + 3, 0:c] += dxn.sum(axis=0)
+        lnacc[0] += (dxn * xhat).sum(axis=0)
+        lnacc[1] += dxn.sum(axis=0)
     if residual:
         dx = dx + dy.astype(jnp.float32)
     dx_ref[:] = dx.astype(x_ref.dtype).reshape(wpb, n, c)
@@ -411,8 +417,7 @@ def _bwd_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bias_ref, dy_ref,
         dbproj_ref[:] = wacc[2 * cc + 1, 0:cc]
         dbias_ref[:] = bacc[:]
         if dln_ref is not None:
-            dln_ref[:] = jnp.stack([wacc[2 * cc + 2, 0:cc],
-                                    wacc[2 * cc + 3, 0:cc]])
+            dln_ref[:] = lnacc[:]
 
 
 def _fused_bwd_windows(wins, wqkv, bqkv, wproj, bias, dy_wins, *, num_heads,
@@ -459,7 +464,10 @@ def _fused_bwd_windows(wins, wqkv, bqkv, wproj, bias, dy_wins, *, num_heads,
     ]
     args = [wins, wqkv.astype(wins.dtype), bqkv.astype(jnp.float32),
             wproj.astype(wins.dtype), bias, dy_wins]
-    scratch_rows = 2 * c + (4 if ln is not None else 2)
+    scratch = [
+        pltpu.VMEM((2 * c + 2, 3 * c), jnp.float32),
+        pltpu.VMEM((num_heads, n, n), jnp.float32),
+    ]
 
     if ln is not None:
         in_specs.append(pl.BlockSpec((2, c), lambda i: (0, 0),
@@ -468,13 +476,14 @@ def _fused_bwd_windows(wins, wqkv, bqkv, wproj, bias, dy_wins, *, num_heads,
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((2, c), jnp.float32))
         args.append(jnp.stack([ln[0], ln[1]]).astype(jnp.float32))
+        scratch.append(pltpu.VMEM((2, c), jnp.float32))
 
         def wrapped(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bias_ref, dy_ref,
                     ln_ref, dx_ref, dwqkv_ref, dbqkv_ref, dwproj_ref,
-                    dbproj_ref, dbias_ref, dln_ref, wacc, bacc):
+                    dbproj_ref, dbias_ref, dln_ref, wacc, bacc, lnacc):
             kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bias_ref, dy_ref,
                    dx_ref, dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref,
-                   dbias_ref, acc_ref=(wacc, bacc), ln_ref=ln_ref,
+                   dbias_ref, acc_ref=(wacc, bacc, lnacc), ln_ref=ln_ref,
                    dln_ref=dln_ref)
     else:
         def wrapped(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bias_ref, dy_ref,
@@ -490,10 +499,7 @@ def _fused_bwd_windows(wins, wqkv, bqkv, wproj, bias, dy_wins, *, num_heads,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((scratch_rows, 3 * c), jnp.float32),
-            pltpu.VMEM((num_heads, n, n), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(*args)
     return outs
