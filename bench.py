@@ -33,7 +33,7 @@ from medicalsemseg_tpu.utils.jitutil import enable_compilation_cache
 VOLUME_SHAPE = (240, 240, 140)
 ROI = (96, 96, 96)
 OVERLAP = 0.5
-SW_BATCH = 16
+SW_BATCH = int(os.environ.get("MEDSEG_SW_BATCH", "16"))
 
 # CPU baseline: measured single 96³ window forward (fp32, jitted, this host),
 # extrapolated to the 32-window blended volume. See BASELINE.json.

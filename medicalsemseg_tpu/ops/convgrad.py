@@ -89,6 +89,20 @@ _WINOGRAD_INFER = _os.environ.get("MEDSEG_WINOGRAD", "0") != "0"
 # have tripped this pod's AOT compiler before (NOTES.md pallas_train saga).
 _WINOGRAD_TRAIN = _os.environ.get("MEDSEG_WINOGRAD_TRAIN", "0") != "0"
 
+# One-HBM-pass Pallas dW (ops/pallas/dw27.py): same tap formulation, VMEM-
+# resident accumulator — covers the sizes where the XLA taps turn HBM-bound
+# (bs >= 2, the 96->48 up-block convs). A/B-gated pending TPU measurement.
+_DW27_PALLAS = _os.environ.get("MEDSEG_DW27_PALLAS", "0") != "0"
+
+
+def _dw27_pallas_eligible(x: jnp.ndarray) -> bool:
+    import jax as _jax
+    from medicalsemseg_tpu.ops.pallas import dw27 as _k
+
+    return (_DW27_PALLAS
+            and (_jax.default_backend() != "cpu" or _k._FORCE_INTERPRET)
+            and _k.dw27_applicable(tuple(x.shape[1:4]), x.shape[-1]))
+
 
 def _wino23_eligible(x: jnp.ndarray) -> bool:
     import jax as _jax
@@ -139,7 +153,13 @@ def _use_dots27(x: jnp.ndarray) -> bool:
 
 def _dw27(x: jnp.ndarray, dy: jnp.ndarray) -> jnp.ndarray:
     """Weight gradient: tap decomposition for single-crop-sized inputs,
-    XLA's native lowering beyond (see _DW27_MAX_VOXELS)."""
+    XLA's native lowering beyond (see _DW27_MAX_VOXELS). The one-pass Pallas
+    accumulator kernel, when enabled, covers every size (its HBM traffic
+    does not scale with the tap count)."""
+    if _dw27_pallas_eligible(x):
+        from medicalsemseg_tpu.ops.pallas.dw27 import dw27_pallas
+
+        return dw27_pallas(x, dy)
     if int(np.prod(x.shape[:-1])) <= _DW27_MAX_VOXELS:
         return _dw27_single(x, dy)
     c, co = x.shape[-1], dy.shape[-1]

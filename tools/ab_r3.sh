@@ -27,13 +27,25 @@ run() {
 
 # --- sliding-window A/B (skip the train bench for speed) ---
 run sw_baseline               MEDSEG_BENCH_TRAIN=0
+run sw_noabsorb               MEDSEG_BENCH_TRAIN=0 MEDSEG_ABSORB=0
 run sw_fused_decoder          MEDSEG_BENCH_TRAIN=0 MEDSEG_FUSED_DECODER=1
 run sw_winograd               MEDSEG_BENCH_TRAIN=0 MEDSEG_WINOGRAD=1
 run sw_fused_plus_winograd    MEDSEG_BENCH_TRAIN=0 MEDSEG_FUSED_DECODER=1 MEDSEG_WINOGRAD=1
 
+# --- sw_batch re-sweep with the absorbed (smaller) window program ---
+run sw_batch8                 MEDSEG_BENCH_TRAIN=0 MEDSEG_SW_BATCH=8
+run sw_batch24                MEDSEG_BENCH_TRAIN=0 MEDSEG_SW_BATCH=24
+run sw_batch32                MEDSEG_BENCH_TRAIN=0 MEDSEG_SW_BATCH=32
+
 # --- train-step A/B (SW bench skipped via MEDSEG_BENCH_SW=0) ---
 run train_baseline            MEDSEG_BENCH_SW=0 MEDSEG_BENCH_TRAIN_BS4=0
+run train_noabsorb            MEDSEG_BENCH_SW=0 MEDSEG_BENCH_TRAIN_BS4=0 MEDSEG_ABSORB=0
 run train_winograd            MEDSEG_BENCH_SW=0 MEDSEG_BENCH_TRAIN_BS4=0 MEDSEG_WINOGRAD_TRAIN=1
 run train_dots27              MEDSEG_BENCH_SW=0 MEDSEG_BENCH_TRAIN_BS4=0 MEDSEG_DOTS27_TRAIN=1
+run train_dw27pallas          MEDSEG_BENCH_SW=0 MEDSEG_BENCH_TRAIN_BS4=0 MEDSEG_DW27_PALLAS=1
+
+# --- bs4 batch scaling (VERDICT r2 #4): baseline vs one-pass Pallas dW ---
+run train_bs4_baseline        MEDSEG_BENCH_SW=0
+run train_bs4_dw27pallas      MEDSEG_BENCH_SW=0 MEDSEG_DW27_PALLAS=1
 
 echo "done; results in $OUT" >&2
