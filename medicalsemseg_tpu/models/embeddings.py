@@ -79,6 +79,29 @@ def get_3d_sincos_pos_embed(embed_dim: int, grid_size) -> np.ndarray:
     return np.concatenate(embs, axis=1)
 
 
+class _PatchifyConv(nn.Module):
+    """nn.Conv drop-in for the kernel == strides, VALID case, routed through
+    ops/convgrad.conv_patchify (train direction = one dense projection per
+    patch). Param names/shapes/inits match nn.Conv exactly."""
+
+    features: int
+    patch: Tuple[int, int, int]
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from medicalsemseg_tpu.ops.convgrad import conv_patchify
+
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (*self.patch, x.shape[-1], self.features),
+                            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        y = conv_patchify(x.astype(self.dtype), kernel.astype(self.dtype),
+                          tuple(self.patch))
+        return y + bias.astype(self.dtype)
+
+
 class PatchEmbed3D(nn.Module):
     """Volume -> patch tokens via a k=s=patch conv, channels-last output.
 
@@ -99,8 +122,10 @@ class PatchEmbed3D(nn.Module):
         pads = [(0, 0)] + [(0, (-x.shape[1 + i]) % p[i]) for i in range(3)] + [(0, 0)]
         if any(pp != (0, 0) for pp in pads):
             x = jnp.pad(x, pads)
-        x = nn.Conv(self.embed_dim, kernel_size=p, strides=p, padding="VALID",
-                    dtype=self.dtype)(x)
+        # same auto-name/param tree as the nn.Conv it replaces; the train
+        # direction runs as space-to-depth + matmul (ops/convgrad.py)
+        x = _PatchifyConv(self.embed_dim, tuple(p), dtype=self.dtype,
+                          name="Conv_0")(x)
         if self.use_norm:
             x = LayerNorm(dtype=self.dtype)(x)
         return x

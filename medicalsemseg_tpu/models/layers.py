@@ -199,6 +199,33 @@ class _FastConv3dS1(nn.Module):
         return y
 
 
+class _Fast1x1Conv(nn.Module):
+    """nn.Conv drop-in for the 1x1x1 / stride-1 / dense case: pure channel
+    mixing, computed as a reshape + matmul — no conv custom-call, none of
+    the bf16 conv-layout re-tiling copies around it (TRAIN PROFILE, NOTES.md:
+    'data formatting' is pure conv-layout copies). Params match nn.Conv."""
+
+    features: int
+    use_bias: bool
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, params_only: bool = False):
+        c = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, 1, c, self.features), jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.features,), jnp.float32)
+                if self.use_bias else None)
+        if params_only:
+            return kernel, bias
+        y = jnp.dot(x.astype(self.dtype),
+                    kernel[0, 0, 0].astype(self.dtype))
+        if bias is not None:
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 class Conv3d(nn.Module):
     """Channels-last 3D conv; NDHWC x DHWIO -> NDHWC maps directly to the MXU."""
 
@@ -219,6 +246,14 @@ class Conv3d(nn.Module):
             # same module name as nn.Conv's auto-name: param tree unchanged
             fast = _FastConv3dS1(self.features, self.use_bias, self.dtype,
                                  name="Conv_0")
+            if params_only:
+                return fast(x, params_only=True)
+            y = fast(x)
+        elif (tuple(self.kernel_size) == (1, 1, 1)
+                and tuple(self.strides) == (1, 1, 1)
+                and self.feature_group_count == 1):
+            fast = _Fast1x1Conv(self.features, self.use_bias, self.dtype,
+                                name="Conv_0")
             if params_only:
                 return fast(x, params_only=True)
             y = fast(x)

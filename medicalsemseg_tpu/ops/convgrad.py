@@ -33,6 +33,8 @@ confirms the microbench win end-to-end).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -48,11 +50,25 @@ def _conv(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
 
 
 def _dw27_single(x: jnp.ndarray, dy: jnp.ndarray) -> jnp.ndarray:
-    """Tap-decomposed weight gradient for one batch element, fp32 accum."""
+    """Tap-decomposed weight gradient for one batch element, fp32 accum.
+
+    Skinny-channel inputs (the stem / encoder0 C=1 convs) take a stacked
+    im2col dot instead: 27 separate (C, M) @ (M, Co) dots at C=1 are
+    outer-product-shaped (1 useful MXU row of 128, ~0.3% utilization), while
+    one (27C, M) @ (M, Co) contraction fills 27C rows for the same FLOPs —
+    and at C<=4 the 27 shifted x copies are cheap (x is 27x smaller than dy).
+    """
     b, d, h, w_, c = x.shape
     co = dy.shape[-1]
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
     dyf = dy.reshape(-1, co)
+    if c <= 4:
+        cols = [lax.dynamic_slice(xp, (0, kd, kh, kw, 0), (b, d, h, w_, c))
+                for kd in range(3) for kh in range(3) for kw in range(3)]
+        xcol = jnp.stack(cols, axis=-2).reshape(-1, 27 * c)  # (M, 27, c)
+        dw = lax.dot_general(xcol, dyf, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+        return dw.reshape(3, 3, 3, c, co)
     taps = []
     for kd in range(3):
         for kh in range(3):
@@ -160,6 +176,10 @@ def _dw27(x: jnp.ndarray, dy: jnp.ndarray) -> jnp.ndarray:
         from medicalsemseg_tpu.ops.pallas.dw27 import dw27_pallas
 
         return dw27_pallas(x, dy)
+    if x.shape[-1] <= 4:
+        # stacked im2col dot: the 27 x re-reads behind _DW27_MAX_VOXELS are
+        # negligible at skinny C (x is Co/C times smaller than dy)
+        return _dw27_single(x, dy)
     if int(np.prod(x.shape[:-1])) <= _DW27_MAX_VOXELS:
         return _dw27_single(x, dy)
     c, co = x.shape[-1], dy.shape[-1]
@@ -219,3 +239,76 @@ def _vjp_bwd(res, dy):
 
 
 conv3x3x3_s1.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Patchify conv: kernel == strides, VALID (the PatchEmbed3D stem,
+# reference models/blocks/patch_embeddings.py:115-133). Non-overlapping taps
+# make the conv a per-patch dense projection — under training that turns
+# XLA's grad-conv dW (slow on the C=1 stem: lane-degenerate, 2.7x padding
+# expansion) into one (K, M) @ (M, Co) dot, the same lesson as
+# layers._MatmulConvTranspose. The PRIMAL keeps the native conv: inference
+# avoids the space-to-depth relayout (d2s cost the sliding window ~3%).
+# ---------------------------------------------------------------------------
+
+_PATCHIFY_TRAIN = _os.environ.get("MEDSEG_PATCHIFY_TRAIN", "1") != "0"
+
+
+def _patchify_cols(x: jnp.ndarray, patch) -> jnp.ndarray:
+    """(B, D, H, W, Ci) -> (B, D/pd, H/ph, W/pw, pd*ph*pw*Ci), tap-major
+    column order matching kernel.reshape(-1, Co)."""
+    b, d, h, w, ci = x.shape
+    pd, ph, pw = patch
+    x = x.reshape(b, d // pd, pd, h // ph, ph, w // pw, pw, ci)
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    return x.reshape(b, d // pd, h // ph, w // pw, pd * ph * pw * ci)
+
+
+def _uncols(cols: jnp.ndarray, x_shape, patch) -> jnp.ndarray:
+    b, d, h, w, ci = x_shape
+    pd, ph, pw = patch
+    x = cols.reshape(b, d // pd, h // ph, w // pw, pd, ph, pw, ci)
+    x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    return x.reshape(b, d, h, w, ci)
+
+
+def _conv_ks(x: jnp.ndarray, w: jnp.ndarray, patch) -> jnp.ndarray:
+    return lax.conv_general_dilated(x, w, tuple(patch), "VALID",
+                                    dimension_numbers=_DN)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def conv_patchify(x: jnp.ndarray, w: jnp.ndarray, patch) -> jnp.ndarray:
+    """k == s == patch, VALID conv: x (B,D,H,W,Ci) * w (*patch,Ci,Co)."""
+    return _conv_ks(x, w, patch)
+
+
+def _patchify_vjp_fwd(x, w, patch):
+    if not _PATCHIFY_TRAIN:
+        return _conv_ks(x, w, patch), (x, w)
+    co = w.shape[-1]
+    cols = _patchify_cols(x, patch)
+    y = lax.dot_general(cols.reshape(-1, cols.shape[-1]), w.reshape(-1, co),
+                        (((1,), (0,)), ((), ())))
+    return y.reshape(*cols.shape[:4], co), (cols, w, x.shape)
+
+
+def _patchify_vjp_bwd(patch, res, dy):
+    if not _PATCHIFY_TRAIN:
+        x, w = res
+        _, vjp = jax.vjp(lambda a, b: _conv_ks(a, b, patch), x, w)
+        return vjp(dy)
+    cols, w, x_shape = res
+    co = w.shape[-1]
+    k = cols.shape[-1]
+    colsf = cols.reshape(-1, k)
+    dyf = dy.reshape(-1, co).astype(cols.dtype)
+    dw = lax.dot_general(colsf, dyf, (((0,), (0,)), ((), ())),
+                         preferred_element_type=jnp.float32)
+    dcols = lax.dot_general(dyf, w.reshape(k, co).astype(dyf.dtype),
+                            (((1,), (1,)), ((), ())))
+    dx = _uncols(dcols.reshape(*cols.shape), x_shape, patch)
+    return dx.astype(cols.dtype), dw.reshape(w.shape).astype(w.dtype)
+
+
+conv_patchify.defvjp(_patchify_vjp_fwd, _patchify_vjp_bwd)

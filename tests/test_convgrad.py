@@ -39,6 +39,94 @@ def test_gradients_match_autodiff():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_skinny_channel_dw_stacked_path_matches_autodiff(monkeypatch):
+    """C=1 (stem/encoder0) takes the stacked-im2col dW dot, at any size —
+    including above the tap-decomposition's voxel threshold."""
+    from medicalsemseg_tpu.ops import convgrad
+
+    monkeypatch.setattr(convgrad, "_DW27_MAX_VOXELS", 100)  # force over
+    x = _rand((2, 6, 8, 10, 1), seed=11)
+    w = _rand((3, 3, 3, 1, 8), seed=12, scale=0.2)
+    cot = _rand((2, 6, 8, 10, 8), seed=13)
+
+    gw = jax.grad(lambda b: (conv3x3x3_s1(x, b) * cot).sum())(w)
+    rw = jax.grad(lambda b: (_conv(x, b) * cot).sum())(w)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(rw),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_patchify_conv_matches_native_and_autodiff():
+    """conv_patchify: primal == native k=s conv; the s2d-matmul train
+    direction (fwd under grad, dx, dw) matches XLA autodiff."""
+    from medicalsemseg_tpu.ops.convgrad import conv_patchify, _conv_ks
+
+    patch = (2, 2, 2)
+    x = _rand((2, 4, 6, 8, 3), seed=21)
+    w = _rand((2, 2, 2, 3, 16), seed=22, scale=0.3)
+    cot = _rand((2, 2, 3, 4, 16), seed=23)
+
+    np.testing.assert_allclose(
+        np.asarray(conv_patchify(x, w, patch)),
+        np.asarray(_conv_ks(x, w, patch)), rtol=2e-5, atol=2e-5)
+
+    def loss(fn):
+        return jax.grad(lambda a, b: (fn(a, b) * cot).sum(), (0, 1))(x, w)
+
+    (gx, gw) = loss(lambda a, b: conv_patchify(a, b, patch))
+    (rx, rw) = loss(lambda a, b: _conv_ks(a, b, patch))
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(rw),
+                               rtol=1e-4, atol=1e-5)
+
+    # value under grad (the matmul forward) also matches the native conv
+    y_train, _ = jax.vjp(lambda a: conv_patchify(a, w, patch), x)
+    np.testing.assert_allclose(np.asarray(y_train),
+                               np.asarray(_conv_ks(x, w, patch)),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_conv1x1_dot_path_matches_nnconv():
+    """Conv3d's 1x1x1 branch: values and grads match nn.Conv, params
+    identical (Conv_0/{kernel,bias})."""
+    x = _rand((2, 4, 5, 6, 8), seed=31)
+
+    fast = Conv3d(12, kernel_size=(1, 1, 1), strides=(1, 1, 1))
+    ref = nn.Conv(12, kernel_size=(1, 1, 1), strides=(1, 1, 1),
+                  padding="SAME")
+
+    vf = fast.init(jax.random.PRNGKey(0), x)
+    vr = ref.init(jax.random.PRNGKey(0), x)
+    # Conv3d nests the params one level down under the nn.Conv auto-name, so
+    # a checkpoint saved against nn.Conv loads unchanged
+    fshapes = jax.tree.map(lambda a: a.shape, vf["params"]["Conv_0"])
+    rshapes = jax.tree.map(lambda a: a.shape, vr["params"])
+    assert fshapes == rshapes, (fshapes, rshapes)
+
+    vshared = {"params": {"Conv_0": vr["params"]}}
+    yf = fast.apply(vshared, x)
+    yr = ref.apply(vr, x)
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(yr),
+                               rtol=2e-5, atol=2e-5)
+
+    gf = jax.grad(lambda v: (fast.apply(v, x) ** 2).sum())(vshared)
+    gr = jax.grad(lambda v: (ref.apply(v, x) ** 2).sum())(vr)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
+        gf["params"]["Conv_0"], gr["params"])
+
+
+def test_patch_embed_param_tree_unchanged():
+    """PatchEmbed3D's patchify swap keeps the nn.Conv tree (Conv_0/*)."""
+    from medicalsemseg_tpu.models.embeddings import PatchEmbed3D
+
+    m = PatchEmbed3D(patch_size=(2, 2, 2), embed_dim=16)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 4, 4, 1)))
+    assert set(v["params"].keys()) == {"Conv_0", "LayerNorm_0"}, v["params"].keys()
+    assert v["params"]["Conv_0"]["kernel"].shape == (2, 2, 2, 1, 16)
+    assert v["params"]["Conv_0"]["bias"].shape == (16,)
+
+
 def test_dots27_train_formulation_matches_autodiff(monkeypatch):
     """With the dots27 train formulation forced on, forward-under-grad and
     both gradients must still match XLA autodiff through the native conv."""
