@@ -125,7 +125,10 @@ class GCWindowAttention(nn.Module):
     so the fused Pallas window-attention kernel
     (ops/pallas/window_attention.py) can consume them directly via the
     ``x_volume`` fast path — the same pattern as models/swin.WindowAttention.
-    The global path (queries from the FeatExtract pyramid) stays on XLA.
+    The global path (queries from the FeatExtract pyramid) has its own fused
+    kernel (fused_global_window_attention: kv dense + global-query attention
+    + proj in one VMEM pass), with the params kept under the nn.Dense names
+    (attn/qkv/*, attn/proj/*) via _DenseParams.
     """
 
     dim: int
@@ -157,9 +160,32 @@ class GCWindowAttention(nn.Module):
                            (table_size, nh), jnp.float32)
 
         if self.use_global:
+            from medicalsemseg_tpu.models.layers import _DenseParams
+
+            # raw kernel/bias leaves under the names an nn.Dense would own
+            # (attn/qkv/*, attn/proj/*) so checkpoints are unchanged and the
+            # fused kernel can consume the arrays directly
+            wkv, bkv = _DenseParams(c, 2 * c, use_bias=self.qkv_bias,
+                                    name="qkv")()
+            wproj_g, bproj_g = _DenseParams(c, c, name="proj")()
+
+            if x_volume is not None:
+                # fused Pallas path: kv dense + global-query attention +
+                # proj (+ optional absorbed LN/shortcut) in one kernel
+                from medicalsemseg_tpu.ops.pallas.window_attention import (
+                    fused_global_window_attention)
+
+                return fused_global_window_attention(
+                    x_volume.astype(self.dtype), q_global, wkv, bkv,
+                    wproj_g, bproj_g, table, ws, nh,
+                    ln_scale=None if ln is None else ln[0],
+                    ln_bias=None if ln is None else ln[1],
+                    residual=residual)
+
             b_, n, _ = x.shape
-            kv = nn.Dense(2 * c, use_bias=self.qkv_bias, dtype=self.dtype,
-                          kernel_init=trunc_normal_init, name="qkv")(x)
+            kv = jnp.dot(x, wkv.astype(self.dtype))
+            if bkv is not None:
+                kv = kv + bkv.astype(self.dtype)
             kv = kv.reshape(b_, n, 2, nh, hd).transpose(2, 0, 3, 1, 4)
             k, v = kv[0], kv[1]
             # broadcast per batch element (fixing the reference's
@@ -217,8 +243,8 @@ class GCWindowAttention(nn.Module):
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
         if self.use_global:
-            out = nn.Dense(c, dtype=self.dtype, kernel_init=trunc_normal_init,
-                           name="proj")(out)
+            out = jnp.dot(out, wproj_g.astype(self.dtype)) + bproj_g.astype(
+                self.dtype)
         else:
             out = jnp.dot(out, wproj.astype(self.dtype)) + bproj.astype(
                 self.dtype)
@@ -254,12 +280,12 @@ class GCViTBlock(nn.Module):
             attn_drop=self.attn_drop, proj_drop=self.drop,
             ref_quirk_index=self.ref_quirk_index, dtype=self.dtype,
             name="attn")
-        # the fused kernel covers the local (no-global-query) path at
-        # inference; training keeps XLA (this pod's AOT compiler rejects
+        # the fused kernels cover BOTH the local and the global-query paths
+        # at inference; training keeps XLA (this pod's AOT compiler rejects
         # large backward graphs containing the kernel, see NOTES.md)
-        # the fused kernel gathers the STANDARD index table, so the quirk
+        # the fused kernels gather the STANDARD index table, so the quirk
         # mode keeps the XLA path
-        fuse = (self.use_pallas and not self.use_global and deterministic
+        fuse = (self.use_pallas and deterministic
                 and not self.ref_quirk_index
                 and d % ws == 0 and h % ws == 0 and w % ws == 0)
         # with no layer-scale the kernel also absorbs LN1 and the shortcut
@@ -278,12 +304,13 @@ class GCViTBlock(nn.Module):
 
         if absorb:
             s1, b1 = ln1(x, params_only=True)
-            x = attn(None, None, True, x_volume=x, ln=(s1, b1), residual=True)
+            x = attn(None, q_global, True, x_volume=x, ln=(s1, b1),
+                     residual=True)
         else:
             shortcut = x
             xn = ln1(x)
             if fuse:
-                xn = attn(None, None, deterministic, x_volume=xn)
+                xn = attn(None, q_global, deterministic, x_volume=xn)
             else:
                 wins = window_partition(xn, ws)
                 wins = attn(wins, q_global, deterministic)

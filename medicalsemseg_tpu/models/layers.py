@@ -76,14 +76,16 @@ class _DenseParams(nn.Module):
 
     features_in: int
     features_out: int
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self):
         kernel = self.param("kernel", trunc_normal_init,
                             (self.features_in, self.features_out),
                             jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros,
-                          (self.features_out,), jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.features_out,), jnp.float32)
+                if self.use_bias else None)
         return kernel, bias
 
 

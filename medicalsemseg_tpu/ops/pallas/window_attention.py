@@ -653,3 +653,155 @@ def _fwa_ln_bwd(window_size, num_heads, shift_size, windows_per_block,
 
 
 fused_window_attention_ln_trainable.defvjp(_fwa_ln_fwd, _fwa_ln_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Global-query windowed attention (GC-ViT): queries come from the stage's
+# FeatExtract pyramid (one ws³ query grid per batch element, shared by every
+# window), K/V from each local window (reference gc_vit_3d.py:292-380 —
+# WindowAttentionGlobal3D). Fuses [LN ->] kv dense -> per-head attention
+# (fp32 softmax in VMEM) -> proj dense [-> +shortcut] exactly like the local
+# kernel; the (N, N) attention matrices never touch HBM. Inference-only
+# (GC-ViT training keeps the XLA path, as the local blocks do).
+# ---------------------------------------------------------------------------
+
+
+def _global_kernel(x_ref, q_ref, wkv_ref, bkv_ref, wproj_ref, bproj_ref,
+                   bias_ref, out_ref, *, num_heads: int, wpb: int,
+                   ln_ref=None, ln_eps: float = 1e-5,
+                   residual: bool = False):
+    n = x_ref.shape[1]
+    c = x_ref.shape[-1]
+    hd = c // num_heads
+    scale = hd ** -0.5
+
+    xr = x_ref[:]
+    if ln_ref is not None:
+        xf = xr.astype(jnp.float32)
+        mu = xf.mean(axis=-1, keepdims=True)
+        var = jnp.maximum(0.0, (xf * xf).mean(axis=-1, keepdims=True)
+                          - mu * mu)
+        xn = ((xf - mu) * (jax.lax.rsqrt(var + ln_eps) * ln_ref[0])
+              + ln_ref[1])
+        xw = xn.astype(x_ref.dtype).reshape(wpb * n, c)
+    else:
+        xw = xr.reshape(wpb * n, c)
+    kv = jnp.dot(xw, wkv_ref[:], preferred_element_type=jnp.float32)
+    kv = (kv + bkv_ref[:]).astype(x_ref.dtype).reshape(wpb, n, 2 * c)
+
+    qg = (q_ref[0].astype(jnp.float32) * scale).astype(x_ref.dtype)  # (N, C)
+
+    outs = []
+    for h in range(num_heads):
+        q = jnp.broadcast_to(qg[None, :, h * hd:(h + 1) * hd], (wpb, n, hd))
+        k = kv[:, :, h * hd:(h + 1) * hd]
+        v = kv[:, :, c + h * hd:c + (h + 1) * hd]
+        attn = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        attn = attn + bias_ref[h][None]
+        attn = jax.nn.softmax(attn, axis=-1).astype(x_ref.dtype)
+        outs.append(jax.lax.dot_general(
+            attn, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32))
+    out = jnp.concatenate(outs, axis=-1).astype(x_ref.dtype)
+
+    out = jnp.dot(out.reshape(wpb * n, c), wproj_ref[:],
+                  preferred_element_type=jnp.float32)
+    out = (out + bproj_ref[:]).astype(x_ref.dtype)
+    if residual:
+        out = out + xr.reshape(wpb * n, c)
+    out_ref[:] = out.reshape(wpb, n, c)
+
+
+def fused_global_window_attention(
+    x: jnp.ndarray,
+    q_global: jnp.ndarray,
+    wkv: jnp.ndarray,
+    bkv: Optional[jnp.ndarray],
+    wproj: jnp.ndarray,
+    bproj: jnp.ndarray,
+    rel_bias_table: jnp.ndarray,
+    window_size: int,
+    num_heads: int,
+    windows_per_block: int = 8,
+    interpret: bool = False,
+    ln_scale: Optional[jnp.ndarray] = None,
+    ln_bias: Optional[jnp.ndarray] = None,
+    ln_eps: float = 1e-5,
+    residual: bool = False,
+) -> jnp.ndarray:
+    """x (B, D, H, W, C), q_global (B, ws, ws, ws, C) -> (B, D, H, W, C).
+
+    D/H/W must be multiples of window_size. Each tile of windows belongs to
+    one batch element (wpb divides the per-batch window count), whose query
+    grid is streamed in as a second VMEM block. With ln_scale/ln_bias the
+    kernel absorbs the block's pre-attention LayerNorm (x is the RAW
+    volume; the queries were computed from the stage input and are NOT
+    re-normalized, matching the module); residual absorbs the shortcut add.
+    """
+    b, d, h, w, c = x.shape
+    ws = window_size
+    n = ws ** 3
+    grid_dims = (d // ws, h // ws, w // ws)
+    nwin = int(np.prod(grid_dims))  # windows per batch element
+    total = b * nwin
+    ln = ln_scale is not None
+
+    bias_bytes = num_heads * n * n * 4
+    per_win = n * 2 * c * 6 + 2 * n * n * 6 + n * c * (16 if ln else 12)
+    budget = 8 * 1024 * 1024
+    wpb_fit = max(int((budget - bias_bytes - n * c * 6) // max(per_win, 1)), 1)
+    wpb = max(min(windows_per_block, wpb_fit), 1)
+    while nwin % wpb != 0:  # a tile must not straddle batch elements
+        wpb -= 1
+
+    if bkv is None:
+        bkv = jnp.zeros((2 * c,), jnp.float32)
+
+    idx = relative_position_index((ws, ws, ws))
+    bias = rel_bias_table[jnp.asarray(idx.reshape(-1))]
+    bias = bias.reshape(n, n, num_heads).transpose(2, 0, 1).astype(jnp.float32)
+
+    wins = window_partition(x, ws)          # (total, N, C), batch-major
+    qg = q_global.reshape(b, n, c).astype(x.dtype)
+
+    in_specs = [
+        pl.BlockSpec((wpb, n, c), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n, c), lambda i: ((i * wpb) // nwin, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((c, 2 * c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2 * c,), lambda i: (0,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((num_heads, n, n), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [wins, qg, wkv.astype(x.dtype), bkv.astype(jnp.float32),
+            wproj.astype(x.dtype), bproj.astype(jnp.float32), bias]
+
+    if ln:
+        def kern(x_ref, q_ref, wkv_ref, bkv_ref, wproj_ref, bproj_ref,
+                 bias_ref, ln_ref, out_ref):
+            _global_kernel(x_ref, q_ref, wkv_ref, bkv_ref, wproj_ref,
+                           bproj_ref, bias_ref, out_ref,
+                           num_heads=num_heads, wpb=wpb, ln_ref=ln_ref,
+                           ln_eps=ln_eps, residual=residual)
+        in_specs.append(pl.BlockSpec((2, c), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(jnp.stack([ln_scale, ln_bias]).astype(jnp.float32))
+    else:
+        kern = functools.partial(_global_kernel, num_heads=num_heads,
+                                 wpb=wpb, residual=residual)
+
+    out = pl.pallas_call(
+        kern,
+        grid=(total // wpb,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((wpb, n, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((total, n, c), x.dtype),
+        interpret=interpret,
+    )(*args)
+    return window_reverse(out, ws, (d, h, w))

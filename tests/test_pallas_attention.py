@@ -116,8 +116,15 @@ def _patch_interpret(monkeypatch, pwa):
         kw["interpret"] = True
         return orig_f(*args, **kw)
 
+    orig_g = pwa.fused_global_window_attention
+
+    def interp_g(*args, **kw):
+        kw["interpret"] = True
+        return orig_g(*args, **kw)
+
     monkeypatch.setattr(pwa, "fused_window_attention_trainable", interp_t)
     monkeypatch.setattr(pwa, "fused_window_attention", interp_f)
+    monkeypatch.setattr(pwa, "fused_global_window_attention", interp_g)
 
 
 def test_encoder_pallas_flag_matches_xla_interpret(monkeypatch):
@@ -151,7 +158,8 @@ def test_encoder_pallas_flag_matches_xla_interpret(monkeypatch):
 def test_gcvit_pallas_flag_matches_xla_interpret(monkeypatch):
     """GCViT3D(use_pallas=True) == use_pallas=False in interpret mode.
 
-    Covers the local-attention fused path (global-query blocks stay XLA)."""
+    Covers BOTH fused paths: local attention (block 0) and global-query
+    attention (block 1, fused_global_window_attention)."""
     import medicalsemseg_tpu.ops.pallas.window_attention as pwa
 
     _patch_interpret(monkeypatch, pwa)
@@ -281,3 +289,41 @@ def test_official_swin_pallas_flag_matches_xla_interpret(monkeypatch):
         for a, b in zip(out_x, out_p):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        rtol=2e-5, atol=2e-5)
+
+
+def test_gcvit_global_kernel_batch2_interpret(monkeypatch):
+    """The fused global-query kernel (GC-ViT WindowAttentionGlobal3D) must
+    route each window tile to ITS batch element's query grid: B=2 with
+    different per-sample content catches a wrong q block index map."""
+    import medicalsemseg_tpu.ops.pallas.window_attention as pwa
+
+    _patch_interpret(monkeypatch, pwa)
+
+    from medicalsemseg_tpu.models.gcvit import GCViT3D
+
+    kw = dict(in_chans=1, dim=8, depths=(2, 2), num_heads=(2, 2),
+              window_sizes=(2, 2), qkv_bias=True, drop_path_rate=0.0)
+    enc_x = GCViT3D(use_pallas=False, **kw)
+    enc_p = GCViT3D(use_pallas=True, **kw)
+    rng = np.random.default_rng(11)
+    vol = jnp.asarray(rng.normal(size=(2, 16, 16, 16, 1)).astype(np.float32))
+    x_in = (vol, None, None)
+    variables = jax.jit(lambda r, x: enc_x.init(r, x, deterministic=True))(
+        jax.random.PRNGKey(0), x_in)
+    out_x = enc_x.apply(variables, x_in, deterministic=True)
+    out_p = enc_p.apply(variables, x_in, deterministic=True)
+    for a, b in zip(out_x, out_p):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-5, atol=2e-5)
+
+    # and without qkv bias (the kv dense drops its bias row)
+    kwn = dict(kw, qkv_bias=False)
+    enc_xn = GCViT3D(use_pallas=False, **kwn)
+    enc_pn = GCViT3D(use_pallas=True, **kwn)
+    variables = jax.jit(lambda r, x: enc_xn.init(r, x, deterministic=True))(
+        jax.random.PRNGKey(1), x_in)
+    out_x = enc_xn.apply(variables, x_in, deterministic=True)
+    out_p = enc_pn.apply(variables, x_in, deterministic=True)
+    for a, b in zip(out_x, out_p):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-5, atol=2e-5)
