@@ -153,7 +153,8 @@ def main():
     cfg = Config(model="nnFormerUNETR", vol_size=96, patch_size=2,
                  hidden_dim=48, depths=(2, 2, 2, 2), num_heads=(3, 6, 12, 24),
                  window_size=6, output_dim=14, compute_dtype="bfloat16",
-                 use_pallas_attention=use_pallas)
+                 use_pallas_attention=use_pallas,
+                 flat_optimizer=os.environ.get("MEDSEG_FLAT_OPT", "0") == "1")
     model = build_model(cfg)
 
     rng = np.random.default_rng(0)

@@ -187,6 +187,12 @@ class Config:
     # Reaches EVERY attention block of those models: GC-ViT local/global,
     # nnFormer cross blocks AND its regular W-MSA/SW-MSA blocks
     # (nnformer_official.py:254-255 uses the same colliding strides)
+    flat_optimizer: bool = False  # opt-in flat-buffer AdamW: clip + Adam +
+    # masked weight decay as ONE fused elementwise pass over raveled fp32
+    # buffers instead of ~700 per-leaf fusions (train/flat_optim.py;
+    # numerics identical to the optax chain — tests/test_flat_optim.py).
+    # Off until the A/B on real hardware lands (opt_state layout differs,
+    # so resume across a flag flip is unsupported)
     fused_loss: bool = False  # opt-in fused Pallas DiceCE
     # (ops/pallas/dice_ce.py): 3.3x faster than the XLA loss standalone
     # (6.0 vs 20.0 ms fwd+bwd at 96^3x14) but NEUTRAL-to-negative inside the
@@ -368,6 +374,9 @@ def build_parser() -> argparse.ArgumentParser:
     # round-2 scripts opted in with --pallas_train; keep it parseable
     g.add_argument("--pallas_train", dest="pallas_train",
                    action="store_true", help=argparse.SUPPRESS)
+    _add_bool_flag(g, "flat_optimizer", False,
+                   help="flat-buffer AdamW: the whole optimizer as one "
+                        "fused pass (train/flat_optim.py)")
     _add_bool_flag(g, "fused_loss", False)
     _add_bool_flag(g, "ref_quirk_rel_pos", False)
 

@@ -1,0 +1,100 @@
+"""Flat-buffer AdamW: the whole optimizer as ONE elementwise pass.
+
+The reference steps torch AdamW per parameter tensor (run_training.py:93);
+optax's chain(clip_by_global_norm, adamw) likewise lowers to one small
+fusion per pytree leaf — ~700 leaves for the 77.5M-param flagship, each
+paying kernel-launch and tiling overhead on TPU (measured: AdamW+grad_norm
+10.1 ms at bs1 vs a ~4 ms HBM roofline for the ~2.6 GB of moment/param
+traffic; NOTES.md train-step cost ledger).
+
+Here the gradients/params/moments are raveled into single flat fp32 buffers
+(jax.flatten_util.ravel_pytree), so clip + bias-corrected Adam + masked
+weight decay fuse into ONE XLA loop over contiguous memory. The weight-decay
+mask (timm semantics: decay only >=2-D kernels, train/state.py:56-59) is
+materialized once at init() as a flat fp32 0/1 vector CARRIED IN THE
+OPTIMIZER STATE — never baked into the HLO (this pod's remote compiler
+rejects programs with embedded weight-size constants, NOTES.md).
+
+Numerics match optax.chain(clip_by_global_norm(c), adamw(...)) exactly
+(same bias correction, eps placement, decay-before-lr ordering); parity is
+pinned by tests/test_flat_optim.py. Opt-in via --flat_optimizer until the
+A/B on real hardware lands.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.flatten_util import ravel_pytree
+
+
+class FlatAdamWState(NamedTuple):
+    count: jnp.ndarray  # int32 step counter
+    m: jnp.ndarray      # (P,) fp32 first moment
+    v: jnp.ndarray      # (P,) fp32 second moment
+    wd_mask: jnp.ndarray  # (P,) fp32 0/1 weight-decay mask
+
+
+def flat_adamw(learning_rate, b1: float = 0.9, b2: float = 0.95,
+               eps: float = 1e-6, weight_decay: float = 0.0,
+               mask_fn: Optional[Callable] = None,
+               clip_norm: Optional[float] = None
+               ) -> optax.GradientTransformation:
+    """optax-compatible transformation; pass params to update() (required).
+
+    learning_rate may be a schedule (callable of the step count) or a float.
+    mask_fn(params) -> bool pytree gates the decay term per leaf (timm
+    add_weight_decay semantics when set to train.state.weight_decay_mask).
+    clip_norm folds optax.clip_by_global_norm into the same fused pass.
+    """
+
+    def init(params):
+        flat, _ = ravel_pytree(params)
+        flat = flat.astype(jnp.float32)
+        if mask_fn is not None:
+            mask_tree = jax.tree_util.tree_map(
+                lambda keep, p: jnp.full(p.shape, float(keep), jnp.float32),
+                mask_fn(params), params)
+            wd_mask, _ = ravel_pytree(mask_tree)
+        else:
+            wd_mask = jnp.ones_like(flat)
+        return FlatAdamWState(count=jnp.zeros((), jnp.int32),
+                              m=jnp.zeros_like(flat),
+                              v=jnp.zeros_like(flat),
+                              wd_mask=wd_mask.astype(jnp.float32))
+
+    def update(grads, state, params=None):
+        if params is None:
+            raise ValueError("flat_adamw requires params in update()")
+        g, unravel = ravel_pytree(grads)
+        g = g.astype(jnp.float32)
+        p, _ = ravel_pytree(params)
+        p = p.astype(jnp.float32)
+
+        if clip_norm is not None:
+            # optax.clip_by_global_norm: scale by clip/norm only when
+            # norm > clip (trust_ratio = minimum(1, clip/norm))
+            gnorm = jnp.sqrt(jnp.sum(g * g))
+            g = g * jnp.minimum(1.0, clip_norm / jnp.maximum(gnorm, 1e-38))
+
+        count_inc = state.count + 1
+        m = b1 * state.m + (1.0 - b1) * g
+        v = b2 * state.v + (1.0 - b2) * (g * g)
+        cf = count_inc.astype(jnp.float32)
+        mhat = m / (1.0 - b1 ** cf)
+        vhat = v / (1.0 - b2 ** cf)
+        u = mhat / (jnp.sqrt(vhat) + eps)
+        if weight_decay:
+            u = u + weight_decay * state.wd_mask * p
+        lr = (learning_rate(count_inc - 1) if callable(learning_rate)
+              else learning_rate)
+        u = -lr * u
+
+        new_state = FlatAdamWState(count=count_inc, m=m, v=v,
+                                   wd_mask=state.wd_mask)
+        return unravel(u), new_state
+
+    return optax.GradientTransformation(init, update)

@@ -62,13 +62,23 @@ def weight_decay_mask(params):
 def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransformation:
     schedule = make_epoch_schedule(cfg.lr, cfg.warmup_epochs, cfg.epochs,
                                    steps_per_epoch)
-    chain = []
-    if cfg.gradient_clipping is not None:
-        chain.append(optax.clip_by_global_norm(cfg.gradient_clipping))
-    chain.append(optax.adamw(schedule, b1=0.9, b2=0.95, eps=1e-6,
-                             weight_decay=cfg.weight_decay,
-                             mask=weight_decay_mask))
-    tx = optax.chain(*chain)
+    if getattr(cfg, "flat_optimizer", False):
+        # one fused elementwise pass over flat fp32 buffers (numerics
+        # identical to the optax chain below — train/flat_optim.py)
+        from medicalsemseg_tpu.train.flat_optim import flat_adamw
+
+        tx = flat_adamw(schedule, b1=0.9, b2=0.95, eps=1e-6,
+                        weight_decay=cfg.weight_decay,
+                        mask_fn=weight_decay_mask,
+                        clip_norm=cfg.gradient_clipping)
+    else:
+        chain = []
+        if cfg.gradient_clipping is not None:
+            chain.append(optax.clip_by_global_norm(cfg.gradient_clipping))
+        chain.append(optax.adamw(schedule, b1=0.9, b2=0.95, eps=1e-6,
+                                 weight_decay=cfg.weight_decay,
+                                 mask=weight_decay_mask))
+        tx = optax.chain(*chain)
     if getattr(cfg, "grad_accum_steps", 1) > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum_steps)
     return tx, schedule
