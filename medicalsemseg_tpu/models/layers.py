@@ -77,10 +77,11 @@ class _DenseParams(nn.Module):
     features_in: int
     features_out: int
     use_bias: bool = True
+    kernel_init: Any = trunc_normal_init
 
     @nn.compact
     def __call__(self):
-        kernel = self.param("kernel", trunc_normal_init,
+        kernel = self.param("kernel", self.kernel_init,
                             (self.features_in, self.features_out),
                             jnp.float32)
         bias = (self.param("bias", nn.initializers.zeros,

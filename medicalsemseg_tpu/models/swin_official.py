@@ -29,7 +29,7 @@ blocks (models/decoders.py).
 from __future__ import annotations
 
 import functools
-from typing import Any, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -143,15 +143,50 @@ class OfficialWindowAttention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, mask=None) -> jnp.ndarray:
-        b_, n, c = x.shape
+    def __call__(self, x: Optional[jnp.ndarray], mask=None,
+                 x_volume: Optional[jnp.ndarray] = None, ws: Tuple3 = None,
+                 ss: Tuple3 = None,
+                 ln: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+                 residual: bool = False) -> jnp.ndarray:
+        from medicalsemseg_tpu.models.layers import _DenseParams
+
+        c = self.dim
         nh = self.num_heads
         hd = c // nh
         table_rows = int(np.prod([2 * w - 1 for w in self.window]))
         table = self.param("relative_position_bias_table", trunc_normal_init,
                            (table_rows, nh), jnp.float32)
-        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
-                       name="qkv")(x)
+        # raw kernel/bias leaves under the nn.Dense names (qkv/*, proj/*) so
+        # checkpoints are unchanged and the fused kernel gets the arrays
+        lecun = nn.initializers.lecun_normal()
+        wqkv, bqkv = _DenseParams(c, 3 * c, use_bias=self.qkv_bias,
+                                  kernel_init=lecun, name="qkv")()
+        wproj, bproj = _DenseParams(c, c, kernel_init=lecun, name="proj")()
+
+        if x_volume is not None:
+            # fused Pallas path over the (padded, rolled) volume; the
+            # clamped-window bias slice [:n, :n] is gathered here and passed
+            # pre-built (the kernel's standard gather assumes a runtime-
+            # window table)
+            from medicalsemseg_tpu.ops.pallas.window_attention import (
+                fused_window_attention)
+
+            n = int(np.prod(ws))
+            idx = _full_window_index(tuple(self.window))[:n, :n]
+            pre_bias = table[jnp.asarray(idx.reshape(-1))].reshape(n, n, nh)
+            pre_bias = pre_bias.transpose(2, 0, 1)
+            return fused_window_attention(
+                x_volume.astype(self.dtype), wqkv, bqkv, wproj, bproj,
+                None, tuple(ws), nh, shift_size=tuple(ss),
+                pre_bias=pre_bias,
+                ln_scale=None if ln is None else ln[0],
+                ln_bias=None if ln is None else ln[1],
+                residual=residual)
+
+        b_, n, _ = x.shape
+        qkv = jnp.dot(x, wqkv.astype(self.dtype))
+        if bqkv is not None:
+            qkv = qkv + bqkv.astype(self.dtype)
         qkv = qkv.reshape(b_, n, 3, nh, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
         attn = jnp.einsum("bhnd,bhmd->bhnm", q * (hd ** -0.5), k,
@@ -168,7 +203,8 @@ class OfficialWindowAttention(nn.Module):
         attn = jnp.asarray(nn.softmax(attn, axis=-1), self.dtype)
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
-        return nn.Dense(c, dtype=self.dtype, name="proj")(out)
+        return jnp.dot(out, wproj.astype(self.dtype)) + bproj.astype(
+            self.dtype)
 
 
 class OfficialSwinBlock(nn.Module):
@@ -190,33 +226,52 @@ class OfficialSwinBlock(nn.Module):
                  deterministic: bool = True) -> jnp.ndarray:
         b, d, h, w, c = x.shape
         ws, ss = resolve_window_official((d, h, w), self.window, self.shift)
-
-        shortcut = x
-        xn = LayerNorm(dtype=self.dtype, name="norm1")(x)
         pads = [(0, (-s) % ws[i]) for i, s in enumerate((d, h, w))]
-        xn = jnp.pad(xn, [(0, 0)] + pads + [(0, 0)])
-        dp, hp, wp = xn.shape[1:4]
-        if any(ss):
-            xn = jnp.roll(xn, shift=(-ss[0], -ss[1], -ss[2]), axis=(1, 2, 3))
-            mask = jnp.asarray(_official_attn_mask((dp, hp, wp), ws, ss))
-        else:
-            mask = None
+        padded = any(p != (0, 0) for p in pads)
+
         attn = OfficialWindowAttention(self.dim, self.num_heads, self.window,
                                        self.qkv_bias, self.dtype, name="attn")
-        xn = _reverse(attn(_partition(xn, ws), mask), ws, (dp, hp, wp))
-        if any(ss):
-            xn = jnp.roll(xn, shift=ss, axis=(1, 2, 3))
-        xn = xn[:, :d, :h, :w, :]
-        x = shortcut + DropPath(self.drop_path_rate)(
-            xn, deterministic=deterministic)
+        ln1 = LayerNorm(dtype=self.dtype, name="norm1")
+        from medicalsemseg_tpu.ops.pallas import absorb_enabled
+        fuse = (self.use_pallas and deterministic and x.dtype == self.dtype)
+        # pad-free volumes absorb LN1 + shortcut in-kernel (zero-padding RAW
+        # tokens would LayerNorm the pad to `bias`, so padded shapes fuse
+        # without absorption); roll commutes with the per-token LN and the
+        # in-rolled-coordinates residual add is valid (roll is a bijection)
+        if fuse and not padded and absorb_enabled():
+            s1, b1 = ln1(x, params_only=True)
+            xr = (jnp.roll(x, shift=(-ss[0], -ss[1], -ss[2]), axis=(1, 2, 3))
+                  if any(ss) else x)
+            out = attn(None, None, x_volume=xr, ws=ws, ss=ss, ln=(s1, b1),
+                       residual=True)
+            x = jnp.roll(out, shift=ss, axis=(1, 2, 3)) if any(ss) else out
+        else:
+            shortcut = x
+            xn = ln1(x)
+            xn = jnp.pad(xn, [(0, 0)] + pads + [(0, 0)])
+            dp, hp, wp = xn.shape[1:4]
+            if any(ss):
+                xn = jnp.roll(xn, shift=(-ss[0], -ss[1], -ss[2]),
+                              axis=(1, 2, 3))
+            if fuse:
+                xn = attn(None, None, x_volume=xn, ws=ws, ss=ss)
+            else:
+                mask = (jnp.asarray(_official_attn_mask((dp, hp, wp), ws, ss))
+                        if any(ss) else None)
+                xn = _reverse(attn(_partition(xn, ws), mask), ws,
+                              (dp, hp, wp))
+            if any(ss):
+                xn = jnp.roll(xn, shift=ss, axis=(1, 2, 3))
+            xn = xn[:, :d, :h, :w, :]
+            x = shortcut + DropPath(self.drop_path_rate)(
+                xn, deterministic=deterministic)
 
         ln2 = LayerNorm(dtype=self.dtype, name="norm2")
         mlp = Mlp(int(c * self.mlp_ratio), dtype=self.dtype, name="mlp")
         from medicalsemseg_tpu.ops.pallas import absorb_enabled
         if (self.use_pallas and deterministic and x.dtype == self.dtype
                 and absorb_enabled()):
-            # fused LN->fc1->GELU->fc2->+x kernel (ops/pallas/mlp.py); the
-            # tuple-window attention stays XLA (cubic-window kernel only)
+            # fused LN->fc1->GELU->fc2->+x kernel (ops/pallas/mlp.py)
             s2, b2 = ln2(x, params_only=True)
             return mlp(x.reshape(b, d * h * w, c), ln=(s2, b2),
                        residual=True).reshape(b, d, h, w, c)

@@ -43,15 +43,24 @@ from medicalsemseg_tpu.ops.window import (
 
 
 
+def _norm3(v) -> Tuple[int, int, int]:
+    """int -> cubic tuple; tuple passes through."""
+    return (int(v),) * 3 if np.isscalar(v) else tuple(int(x) for x in v)
+
+
 def _window_mask(wpb: int, n: int, grid_dims: Tuple[int, int, int],
-                 ws: int, ss: int):
+                 ws, ss):
     """In-kernel SW-MSA mask for the current tile of wpb windows.
 
     A token pair is visible iff its pre-shift region labels match along every
     axis; labels depend only on (is this the last window along the axis?,
     token position). Token coordinates come from iota (pallas kernels cannot
-    capture host array constants).
+    capture host array constants). ws/ss may be per-axis tuples (the official
+    SwinUNETR / Video-Swin clamped-window scheme zeroes individual shifts;
+    a zero-shift axis labels each window uniformly, masking nothing).
     """
+    w3 = _norm3(ws)
+    s3 = _norm3(ss)
     nwd, nwh, nww = grid_dims
     blk = pl.program_id(0)
     g0 = blk * wpb
@@ -61,17 +70,17 @@ def _window_mask(wpb: int, n: int, grid_dims: Tuple[int, int, int],
     jj = (gids // nww) % nwh
     ii = (gids // (nww * nwh)) % nwd
     tok = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)[0]
-    pd = tok // (ws * ws)
-    ph = (tok // ws) % ws
-    pw = tok % ws
+    pd = tok // (w3[1] * w3[2])
+    ph = (tok // w3[2]) % w3[1]
+    pw = tok % w3[2]
     # region label along an axis: 0 unless last window; there, tokens past
     # ws-ss are wrapped from the volume start (label 2 vs 1)
-    lab = lambda pos, last, nlast: jnp.where(  # noqa: E731
+    lab = lambda pos, last, nlast, w, s: jnp.where(  # noqa: E731
         (last == nlast - 1)[:, None],
-        jnp.where(pos[None, :] < ws - ss, 1, 2), 0)
-    ld = lab(pd, ii, nwd)  # (wpb, N)
-    lh = lab(ph, jj, nwh)
-    lw = lab(pw, kk, nww)
+        jnp.where(pos[None, :] < w - s, 1, 2), 0)
+    ld = lab(pd, ii, nwd, w3[0], s3[0])  # (wpb, N)
+    lh = lab(ph, jj, nwh, w3[1], s3[1])
+    lw = lab(pw, kk, nww, w3[2], s3[2])
     same = ((ld[:, :, None] == ld[:, None, :])
             & (lh[:, :, None] == lh[:, None, :])
             & (lw[:, :, None] == lw[:, None, :]))
@@ -147,31 +156,40 @@ def fused_window_attention(
     bqkv: Optional[jnp.ndarray],
     wproj: jnp.ndarray,
     bproj: jnp.ndarray,
-    rel_bias_table: jnp.ndarray,
-    window_size: int,
+    rel_bias_table: Optional[jnp.ndarray],
+    window_size,
     num_heads: int,
-    shift_size: int = 0,
+    shift_size=0,
     windows_per_block: int = 8,
     interpret: bool = False,
     ln_scale: Optional[jnp.ndarray] = None,
     ln_bias: Optional[jnp.ndarray] = None,
     ln_eps: float = 1e-5,
     residual: bool = False,
+    pre_bias: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """x (B, D, H, W, C) -> attention output (B, D, H, W, C).
 
-    D/H/W must be multiples of window_size (callers pad first, as the XLA
-    path does). When shift_size > 0, x must already be cyclically rolled by
-    -shift_size; the SW-MSA mask is derived in-kernel.
+    window_size / shift_size may be ints (cubic) or per-axis tuples (the
+    official SwinUNETR / Video-Swin contract). D/H/W must be multiples of
+    the window (callers pad first, as the XLA path does). When any shift is
+    nonzero, x must already be cyclically rolled by -shift; the SW-MSA mask
+    is derived in-kernel.
+
+    The (nh, N, N) attention bias is gathered from rel_bias_table with the
+    standard per-axis index, or passed pre-gathered via pre_bias (the
+    official models slice a constructor-window table at clamped runtime
+    windows — swin_unetr_official.py:506-516).
 
     With ln_scale/ln_bias the kernel absorbs the block's pre-attention
     LayerNorm (x is then the RAW volume); with residual=True it also absorbs
     the shortcut add, returning x + attn(LN(x)) already combined.
     """
     b, d, h, w, c = x.shape
-    ws = window_size
-    n = ws ** 3
-    grid_dims = (d // ws, h // ws, w // ws)
+    ws3 = _norm3(window_size)
+    ss3 = _norm3(shift_size)
+    n = int(np.prod(ws3))
+    grid_dims = (d // ws3[0], h // ws3[1], w // ws3[2])
     total = b * int(np.prod(grid_dims))
     ln = ln_scale is not None
 
@@ -190,12 +208,15 @@ def fused_window_attention(
     if bqkv is None:
         bqkv = jnp.zeros((3 * c,), jnp.float32)
 
-    idx = relative_position_index((ws, ws, ws))
-    bias = rel_bias_table[jnp.asarray(idx.reshape(-1))]
-    bias = bias.reshape(n, n, num_heads).transpose(2, 0, 1)  # (nh, N, N)
-    bias = bias.astype(jnp.float32)
+    if pre_bias is not None:
+        bias = pre_bias.astype(jnp.float32)  # (nh, N, N)
+    else:
+        idx = relative_position_index(ws3)
+        bias = rel_bias_table[jnp.asarray(idx.reshape(-1))]
+        bias = bias.reshape(n, n, num_heads).transpose(2, 0, 1)  # (nh, N, N)
+        bias = bias.astype(jnp.float32)
 
-    wins = window_partition(x, ws)  # (total, N, C)
+    wins = window_partition(x, ws3)  # (total, N, C)
 
     in_specs = [
         pl.BlockSpec((wpb, n, c), lambda i: (i, 0, 0),
@@ -211,21 +232,22 @@ def fused_window_attention(
     args = [wins, wqkv.astype(x.dtype), bqkv.astype(jnp.float32),
             wproj.astype(x.dtype), bproj.astype(jnp.float32), bias]
 
+    shifted = any(s > 0 for s in ss3)
     if ln:
         def kern(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref,
                  ln_ref, out_ref):
             _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
                     bias_ref, out_ref, num_heads=num_heads, wpb=wpb,
-                    shifted=shift_size > 0, grid_dims=grid_dims, ws=ws,
-                    ss=shift_size, ln_ref=ln_ref, ln_eps=ln_eps,
+                    shifted=shifted, grid_dims=grid_dims, ws=ws3,
+                    ss=ss3, ln_ref=ln_ref, ln_eps=ln_eps,
                     residual=residual)
         in_specs.append(pl.BlockSpec((2, c), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(jnp.stack([ln_scale, ln_bias]).astype(jnp.float32))
     else:
         kern = functools.partial(_kernel, num_heads=num_heads, wpb=wpb,
-                                 shifted=shift_size > 0, grid_dims=grid_dims,
-                                 ws=ws, ss=shift_size, residual=residual)
+                                 shifted=shifted, grid_dims=grid_dims,
+                                 ws=ws3, ss=ss3, residual=residual)
 
     out = pl.pallas_call(
         kern,
@@ -236,7 +258,7 @@ def fused_window_attention(
         out_shape=jax.ShapeDtypeStruct((total, n, c), x.dtype),
         interpret=interpret,
     )(*args)
-    return window_reverse(out, ws, (d, h, w))
+    return window_reverse(out, ws3, (d, h, w))
 
 
 def pallas_train_bwd_vmem_bytes(c: int, num_heads: int, window_size: int,

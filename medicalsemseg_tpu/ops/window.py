@@ -39,32 +39,38 @@ def pad_to_multiple(x: jnp.ndarray, multiple: Tuple3) -> jnp.ndarray:
     return jnp.pad(x, ((0, 0), (0, pd), (0, ph), (0, pw), (0, 0)))
 
 
-def window_partition(x: jnp.ndarray, window_size: int) -> jnp.ndarray:
-    """(B, D, H, W, C) -> (B * nW, ws**3, C), windows ordered depth-major.
+def _ws3(window_size) -> Tuple3:
+    return ((window_size,) * 3 if np.isscalar(window_size)
+            else tuple(int(v) for v in window_size))
 
-    Matches the ordering of reference window_partition
+
+def window_partition(x: jnp.ndarray, window_size) -> jnp.ndarray:
+    """(B, D, H, W, C) -> (B * nW, prod(ws), C), windows ordered depth-major.
+
+    window_size may be an int (cubic) or a (wd, wh, ww) tuple. Matches the
+    ordering of reference window_partition
     (reference: models/backbones/swin_nnformer.py:45-49) so bias tables and
     masks line up index-for-index.
     """
     b, d, h, w, c = x.shape
-    ws = window_size
-    x = x.reshape(b, d // ws, ws, h // ws, ws, w // ws, ws, c)
+    w0, w1, w2 = _ws3(window_size)
+    x = x.reshape(b, d // w0, w0, h // w1, w1, w // w2, w2, c)
     x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
-    return x.reshape(-1, ws * ws * ws, c)
+    return x.reshape(-1, w0 * w1 * w2, c)
 
 
-def window_reverse(windows: jnp.ndarray, window_size: int, dims: Tuple3) -> jnp.ndarray:
+def window_reverse(windows: jnp.ndarray, window_size, dims: Tuple3) -> jnp.ndarray:
     """Inverse of :func:`window_partition`.
 
-    (B * nW, ws**3, C) -> (B, D, H, W, C)
+    (B * nW, prod(ws), C) -> (B, D, H, W, C)
     (reference: models/backbones/swin_nnformer.py:52-56).
     """
     d, h, w = dims
-    ws = window_size
-    n_win = (d // ws) * (h // ws) * (w // ws)
+    w0, w1, w2 = _ws3(window_size)
+    n_win = (d // w0) * (h // w1) * (w // w2)
     b = windows.shape[0] // n_win
     c = windows.shape[-1]
-    x = windows.reshape(b, d // ws, h // ws, w // ws, ws, ws, ws, c)
+    x = windows.reshape(b, d // w0, h // w1, w // w2, w0, w1, w2, c)
     x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)
     return x.reshape(b, d, h, w, c)
 

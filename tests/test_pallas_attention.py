@@ -327,3 +327,37 @@ def test_gcvit_global_kernel_batch2_interpret(monkeypatch):
     for a, b in zip(out_x, out_p):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_official_swin_fused_attention_variants_interpret(monkeypatch):
+    """OfficialSwinBlock's fused tuple-window attention == XLA on all three
+    routes: absorbed (pad-free, shifted), padded (fuse w/o absorption), and
+    clamped windows (per-axis ws/ss with zeroed shifts)."""
+    import medicalsemseg_tpu.ops.pallas.window_attention as pwa
+
+    _patch_interpret(monkeypatch, pwa)
+
+    from medicalsemseg_tpu.models.swin_official import SwinViTOfficial
+
+    rng = np.random.default_rng(17)
+    cases = [
+        # (vol shape, window) -> grid after the /2 patch embed
+        ((1, 8, 8, 8, 1), (2, 2, 2)),    # 4^3 grid: absorbed + shifted
+        ((1, 6, 8, 8, 1), (2, 2, 2)),    # 3x4x4 grid: pad route + shifted
+        ((2, 4, 8, 8, 1), (4, 2, 2)),    # 2x4x4 grid: depth window clamps
+    ]
+    for shape, window in cases:
+        kw = dict(in_chans=1, embed_dim=8, depths=(2, 2), num_heads=(2, 2),
+                  window=window, drop_path_rate=0.0)
+        m_x = SwinViTOfficial(use_pallas=False, **kw)
+        m_p = SwinViTOfficial(use_pallas=True, **kw)
+        vol = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        variables = jax.jit(
+            lambda r, x, m=m_x: m.init(r, x, deterministic=True))(
+                jax.random.PRNGKey(0), vol)
+        out_x = m_x.apply(variables, vol, deterministic=True)
+        out_p = m_p.apply(variables, vol, deterministic=True)
+        for a, b in zip(out_x, out_p):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=3e-5, atol=3e-5,
+                err_msg=f"shape={shape} window={window}")
