@@ -50,4 +50,12 @@ run train_dw27pallas          MEDSEG_BENCH_SW=0 MEDSEG_BENCH_TRAIN_BS4=0 MEDSEG_
 run train_bs4_baseline        MEDSEG_BENCH_SW=0
 run train_bs4_dw27pallas      MEDSEG_BENCH_SW=0 MEDSEG_DW27_PALLAS=1
 
+# --- per-op roofline ledgers at the production config (LEDGER.md input) ---
+env PYTHONPATH="$PWD:${PYTHONPATH:-}" timeout 2700 \
+  python tools/train_profile.py --bs 1 --steps 3 --pallas_train \
+  > tools/ledger_r3_train_bs1.txt 2>&1 || true
+env PYTHONPATH="$PWD:${PYTHONPATH:-}" timeout 2700 \
+  python tools/sw_profile.py --steps 2 \
+  > tools/ledger_r3_sw.txt 2>&1 || true
+
 echo "done; results in $OUT" >&2
