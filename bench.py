@@ -98,29 +98,45 @@ def _train_bench(cfg, bs: int = 1) -> dict:
         pass
 
     # warm/compile, with graceful degradation if a kernel set the compiler
-    # rejects on this hardware: first drop the round-3 absorption paths
-    # (MEDSEG_ABSORB=0, re-trace), then pallas_train entirely
+    # rejects on this hardware: first drop the head-split stage-4 backward
+    # (MEDSEG_HSPLIT=0), then the round-3 absorption paths (MEDSEG_ABSORB=0,
+    # re-trace), then pallas_train entirely
     fallback = None
+    ok = False
     try:
         state, m = step(state, batch, jax.random.PRNGKey(2))
         _ = float(m["loss"])
+        ok = True
     except Exception:
+        pass
+    if not ok:
+        os.environ["MEDSEG_HSPLIT"] = "0"
+        step = jax.jit(make_train_step(cfg), donate_argnums=(0,))
+        try:
+            state, m = step(state, batch, jax.random.PRNGKey(2))
+            _ = float(m["loss"])
+            fallback, ok = "no_hsplit", True
+        except Exception:
+            pass
+    if not ok:
         os.environ["MEDSEG_ABSORB"] = "0"
         step = jax.jit(make_train_step(cfg), donate_argnums=(0,))
         try:
             state, m = step(state, batch, jax.random.PRNGKey(2))
             _ = float(m["loss"])
-            fallback = "no_absorb"
+            fallback, ok = "no_absorb", True
         except Exception:
-            cfg = cfg.replace(pallas_train=False)
-            model = build_model(cfg)
-            state, _sched = create_train_state(
-                cfg, model, jax.random.PRNGKey(0), x_probe,
-                steps_per_epoch=100)
-            step = jax.jit(make_train_step(cfg), donate_argnums=(0,))
-            state, m = step(state, batch, jax.random.PRNGKey(2))
-            _ = float(m["loss"])
-            fallback = "no_pallas_train"
+            pass
+    if not ok:
+        cfg = cfg.replace(pallas_train=False)
+        model = build_model(cfg)
+        state, _sched = create_train_state(
+            cfg, model, jax.random.PRNGKey(0), x_probe,
+            steps_per_epoch=100)
+        step = jax.jit(make_train_step(cfg), donate_argnums=(0,))
+        state, m = step(state, batch, jax.random.PRNGKey(2))
+        _ = float(m["loss"])
+        fallback = "no_pallas_train"
     rt = _measure_roundtrip()
 
     n_iters = 10

@@ -126,7 +126,8 @@ def build_model(cfg: Config) -> nn.Module:
             in_chans=cfg.in_chans, embed_dim=cfg.hidden_dim,
             depths=tuple(cfg.depths), num_heads=tuple(cfg.num_heads),
             sr_ratios=(8, 4, 2, 1), qkv_bias=cfg.qkv_bias,
-            drop_path_rate=cfg.drop_path_rate, dtype=dtype)
+            drop_path_rate=cfg.drop_path_rate,
+            use_pallas=_use_pallas(cfg), dtype=dtype)
         return SegFormerHeadOfficial(encoder=encoder,
                                      num_classes=cfg.output_dim, dtype=dtype)
 

@@ -22,6 +22,7 @@ from medicalsemseg_tpu.models.layers import (
     Conv3d,
     DropPath,
     LayerNorm,
+    _DenseParams,
     trunc_normal_init,
 )
 
@@ -54,7 +55,12 @@ class DWConvMlp(nn.Module):
 
 
 class SRAttention(nn.Module):
-    """Attention with spatial-reduction conv on K/V (reference: :51-110)."""
+    """Attention with spatial-reduction conv on K/V (reference: :51-110).
+
+    With use_pallas the N-token side (q dense -> per-head softmax(qk^T)v ->
+    proj [-> +shortcut]) runs as one fused Pallas kernel at inference
+    (ops/pallas/sr_attention.py); the tiny M-token K/V branch stays XLA.
+    Params keep the nn.Dense tree (q/kv/proj) via _DenseParams."""
 
     dim: int
     num_heads: int
@@ -62,18 +68,21 @@ class SRAttention(nn.Module):
     qkv_bias: bool = False
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, grid, deterministic: bool = True):
+    def __call__(self, x: jnp.ndarray, grid, deterministic: bool = True,
+                 shortcut: jnp.ndarray = None):
         b, n, c = x.shape
         nh = self.num_heads
         hd = c // nh
         scale = hd ** -0.5
 
-        q = nn.Dense(c, use_bias=self.qkv_bias, dtype=self.dtype,
-                     kernel_init=trunc_normal_init, name="q")(x)
-        q = q.reshape(b, n, nh, hd).transpose(0, 2, 1, 3)
+        wq, bq = _DenseParams(c, c, use_bias=self.qkv_bias, name="q")()
+        wkv, bkv = _DenseParams(c, 2 * c, use_bias=self.qkv_bias,
+                                name="kv")()
+        wproj, bproj = _DenseParams(c, c, name="proj")()
 
         kv_in = x
         if self.sr_ratio > 1:
@@ -83,9 +92,27 @@ class SRAttention(nn.Module):
                        dtype=self.dtype, name="sr")(v)
             kv_in = v.reshape(b, -1, c)
             kv_in = LayerNorm(dtype=self.dtype, name="norm")(kv_in)
-        kv = nn.Dense(2 * c, use_bias=self.qkv_bias, dtype=self.dtype,
-                      kernel_init=trunc_normal_init, name="kv")(kv_in)
+        kv = jnp.dot(kv_in, wkv.astype(self.dtype))
+        if bkv is not None:
+            kv = kv + bkv.astype(self.dtype)
         m = kv_in.shape[1]
+
+        if self.use_pallas and deterministic:
+            from medicalsemseg_tpu.ops.pallas.sr_attention import (
+                fused_sr_attention,
+                fused_sr_attention_fits,
+            )
+            if fused_sr_attention_fits(c, m, shortcut is not None):
+                # kv dense layout: columns [2, nh, hd] -> first c cols are K
+                # (head-major hd blocks), last c are V
+                return fused_sr_attention(
+                    x.astype(self.dtype), kv[:, :, :c], kv[:, :, c:],
+                    wq, bq, wproj, bproj, nh, residual=shortcut), True
+
+        q = jnp.dot(x, wq.astype(self.dtype))
+        if bq is not None:
+            q = q + bq.astype(self.dtype)
+        q = q.reshape(b, n, nh, hd).transpose(0, 2, 1, 3)
         kv = kv.reshape(b, m, 2, nh, hd).transpose(2, 0, 3, 1, 4)
         k, v = kv[0], kv[1]
 
@@ -95,9 +122,8 @@ class SRAttention(nn.Module):
         attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
-        out = nn.Dense(c, dtype=self.dtype, kernel_init=trunc_normal_init,
-                       name="proj")(out)
-        return nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        out = jnp.dot(out, wproj.astype(self.dtype)) + bproj.astype(self.dtype)
+        return nn.Dropout(self.proj_drop)(out, deterministic=deterministic), False
 
 
 class MixBlock(nn.Module):
@@ -112,14 +138,28 @@ class MixBlock(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path_rate: float = 0.0
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, grid, deterministic: bool = True):
-        h = SRAttention(self.dim, self.num_heads, self.sr_ratio, self.qkv_bias,
-                        self.attn_drop, self.drop, self.dtype, name="attn")(
-            LayerNorm(dtype=self.dtype, name="norm1")(x), grid, deterministic)
-        x = x + DropPath(self.drop_path_rate)(h, deterministic=deterministic)
+        from medicalsemseg_tpu.ops.pallas import absorb_enabled
+
+        # the fused SR-attention kernel (inference-only) can also absorb the
+        # block's shortcut add; the pre-attention LN stays outside because
+        # its output feeds the SR conv too (it is materialized either way)
+        fuse = self.use_pallas and deterministic and absorb_enabled()
+        xn = LayerNorm(dtype=self.dtype, name="norm1")(x)
+        h, fused = SRAttention(self.dim, self.num_heads, self.sr_ratio,
+                               self.qkv_bias, self.attn_drop, self.drop,
+                               use_pallas=fuse, dtype=self.dtype,
+                               name="attn")(
+            xn, grid, deterministic, shortcut=x if fuse else None)
+        if fused and fuse:
+            x = h  # kernel returned x + attn(LN(x))
+        else:
+            x = x + DropPath(self.drop_path_rate)(h,
+                                                  deterministic=deterministic)
         h = DWConvMlp(int(self.dim * self.mlp_ratio), self.drop, self.dtype,
                       name="mlp")(
             LayerNorm(dtype=self.dtype, name="norm2")(x), grid, deterministic)
@@ -162,6 +202,7 @@ class MixVisionTransformer3D(nn.Module):
     drop_rate: float = 0.0
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.0
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -185,7 +226,8 @@ class MixVisionTransformer3D(nn.Module):
                 tokens = MixBlock(
                     dims[stage], self.num_heads[stage], self.sr_ratios[stage],
                     self.mlp_ratios[stage], self.qkv_bias, self.drop_rate,
-                    self.attn_drop_rate, dpr[cur + i], self.dtype,
+                    self.attn_drop_rate, dpr[cur + i],
+                    use_pallas=self.use_pallas, dtype=self.dtype,
                     name=f"block{stage + 1}_{i}")(tokens, grid, deterministic)
             tokens = LayerNorm(dtype=self.dtype, name=f"norm{stage + 1}")(tokens)
             x = tokens.reshape(tokens.shape[0], *grid, dims[stage])

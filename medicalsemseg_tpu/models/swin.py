@@ -130,6 +130,16 @@ class WindowAttention(nn.Module):
 
             bq = bqkv if bqkv is not None else jnp.zeros(
                 (3 * self.dim,), jnp.float32)
+            # ref-quirk bias index (colliding strides, for bit-compatible
+            # official-nnFormer checkpoints): pre-gather the (nh, N, N) bias
+            # outside the kernel — inference-only, as the trainable VJP
+            # scatters dbias with the standard index
+            pre_bias = None
+            if self.ref_quirk_index:
+                qidx = jnp.asarray(relative_position_index_ref_quirk(
+                    tuple(self.window_size)))
+                pre_bias = rel_table[qidx.reshape(-1)].reshape(
+                    n_attn, n_attn, nh).transpose(2, 0, 1)
             if ln is not None and not deterministic:
                 # absorbed form under training: custom VJP chains the LN
                 # backward in-kernel (and dy->dx for the shortcut)
@@ -147,7 +157,12 @@ class WindowAttention(nn.Module):
                     rel_table, self.window_size[0], nh, shift_size,
                     ln_scale=None if ln is None else ln[0],
                     ln_bias=None if ln is None else ln[1],
-                    residual=residual)
+                    residual=residual, pre_bias=pre_bias)
+            elif pre_bias is not None:
+                out_vol = fused_window_attention(
+                    x_volume.astype(self.dtype), wqkv, bq, wproj, bproj,
+                    rel_table, self.window_size[0], nh, shift_size,
+                    pre_bias=pre_bias)
             else:
                 out_vol = fused_window_attention_trainable(
                     x_volume.astype(self.dtype), wqkv, bq, wproj, bproj,
@@ -292,7 +307,11 @@ class SwinBlock(nn.Module):
             train_fuse = train_absorb = False
         fuse = (self.use_pallas and not self.global_token
                 and not self.rel_pos_bias_affine
-                and not self.ref_quirk_index
+                # quirk-index blocks fuse at inference (bias pre-gathered
+                # with the colliding-stride index, passed via pre_bias);
+                # the trainable VJP scatters dbias with the standard index,
+                # so quirk training keeps the XLA path
+                and (deterministic or not self.ref_quirk_index)
                 and (deterministic or train_fuse))
         # LN(+residual) absorption: valid when no window padding is needed
         # (zero-padding RAW tokens would LN to `bias`, not 0). The kernel

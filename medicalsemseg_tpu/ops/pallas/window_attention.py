@@ -26,6 +26,7 @@ XLA path until a custom VJP pairs with this kernel.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -288,16 +289,27 @@ def pallas_train_bwd_vmem_bytes(c: int, num_heads: int, window_size: int,
             + (wpb * n * c * 12 if ln else 0))  # xr32/xhat/dxhat fp32 temps
 
 
+def _hsplit_enabled() -> bool:
+    """MEDSEG_HSPLIT=0 disables the head-split backward (A/B + hardware
+    fallback knob; read at trace time)."""
+    return os.environ.get("MEDSEG_HSPLIT", "1") != "0"
+
+
 def pallas_train_fits(c: int, num_heads: int, window_size: int,
                       limit: int = 14 * 1024 * 1024,
                       ln: bool = False) -> bool:
-    """Whether the custom-VJP backward kernel fits scoped VMEM (16M on v5e;
+    """Whether a custom-VJP backward kernel fits scoped VMEM (16M on v5e;
     14M threshold leaves headroom for compiler temporaries). The flagship's
-    stage 4 (c=384, nh=24) does NOT fit — its blocks keep the XLA backward,
-    which is cheap there (8 windows); stages 1-3 (512/64/8 windows at
-    c=48/96/192) fit and carry virtually all the attention time."""
-    return pallas_train_bwd_vmem_bytes(c, num_heads, window_size,
-                                       ln=ln) <= limit
+    stage 4 (c=384, nh=24, 25.14M) does NOT fit the whole-head kernel; the
+    head-split variant (grid over head groups, `_bwd_kernel_hsplit`) covers
+    it unless MEDSEG_HSPLIT=0, in which case those blocks keep the XLA
+    backward (cheap there — 8 windows)."""
+    if pallas_train_bwd_vmem_bytes(c, num_heads, window_size,
+                                   ln=ln) <= limit:
+        return True
+    return (_hsplit_enabled()
+            and pick_head_split(c, num_heads, window_size, ln=ln,
+                                limit=limit) is not None)
 
 
 def _bwd_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bias_ref, dy_ref,
@@ -577,10 +589,19 @@ def _fwa_bwd(window_size, num_heads, shift_size, windows_per_block, interpret,
     wins = window_partition(x, ws)
     dy_wins = window_partition(dy.astype(x.dtype), ws)
 
-    dx_wins, dwqkv, dbqkv, dwproj, dbproj, dbias = _fused_bwd_windows(
-        wins, wqkv, bqkv, wproj, bias, dy_wins, num_heads=num_heads, wpb=wpb,
-        shifted=shift_size > 0, grid_dims=grid_dims, ws=ws, ss=shift_size,
-        interpret=interpret)
+    hsplit = pick_head_split(c, num_heads, ws)
+    if hsplit is not None and hsplit > 1 and _hsplit_enabled():
+        dx_wins, dwqkv, dbqkv, dwproj, dbproj, dbias = (
+            _fused_bwd_windows_hsplit(
+                wins, wqkv, bqkv, wproj, bias, dy_wins, num_heads=num_heads,
+                hg_count=hsplit, wpb=wpb, shifted=shift_size > 0,
+                grid_dims=grid_dims, ws=ws, ss=shift_size,
+                interpret=interpret))
+    else:
+        dx_wins, dwqkv, dbqkv, dwproj, dbproj, dbias = _fused_bwd_windows(
+            wins, wqkv, bqkv, wproj, bias, dy_wins, num_heads=num_heads,
+            wpb=wpb, shifted=shift_size > 0, grid_dims=grid_dims, ws=ws,
+            ss=shift_size, interpret=interpret)
 
     dx = window_reverse(dx_wins, ws, (d, h, w))
     # scatter the (nh, N, N) bias grad back onto the rel-pos table
@@ -657,11 +678,22 @@ def _fwa_ln_bwd(window_size, num_heads, shift_size, windows_per_block,
     wins = window_partition(x, ws)
     dy_wins = window_partition(dy.astype(x.dtype), ws)
 
-    (dx_wins, dwqkv, dbqkv, dwproj, dbproj, dbias, dln) = _fused_bwd_windows(
-        wins, wqkv, bqkv, wproj, bias, dy_wins, num_heads=num_heads, wpb=wpb,
-        shifted=shift_size > 0, grid_dims=grid_dims, ws=ws, ss=shift_size,
-        interpret=interpret, ln=(ln_scale, ln_bias), ln_eps=ln_eps,
-        residual=residual)
+    hsplit = pick_head_split(c, num_heads, ws, ln=True)
+    if hsplit is not None and hsplit > 1 and _hsplit_enabled():
+        (dx_wins, dwqkv, dbqkv, dwproj, dbproj, dbias, dln) = (
+            _fused_bwd_windows_hsplit(
+                wins, wqkv, bqkv, wproj, bias, dy_wins, num_heads=num_heads,
+                hg_count=hsplit, wpb=wpb, shifted=shift_size > 0,
+                grid_dims=grid_dims, ws=ws, ss=shift_size,
+                interpret=interpret, ln=(ln_scale, ln_bias), ln_eps=ln_eps,
+                residual=residual))
+    else:
+        (dx_wins, dwqkv, dbqkv, dwproj, dbproj, dbias,
+         dln) = _fused_bwd_windows(
+            wins, wqkv, bqkv, wproj, bias, dy_wins, num_heads=num_heads,
+            wpb=wpb, shifted=shift_size > 0, grid_dims=grid_dims, ws=ws,
+            ss=shift_size, interpret=interpret, ln=(ln_scale, ln_bias),
+            ln_eps=ln_eps, residual=residual)
 
     dx = window_reverse(dx_wins, ws, (d, h, w))
     table_size = rel_bias_table.shape[0]
@@ -827,3 +859,333 @@ def fused_global_window_attention(
         interpret=interpret,
     )(*args)
     return window_reverse(out, ws, (d, h, w))
+
+
+# ---------------------------------------------------------------------------
+# Head-split backward: the flagship's stage-4 shape (c=384, 24 heads, 216
+# tokens) overflows scoped VMEM in the whole-head backward above (25.14M
+# reported vs the 16M limit — the three (nh, N, N) fp32 bias buffers alone
+# are 13.4M). Splitting heads across a second grid axis shrinks every
+# per-head buffer to a head-group slice:
+#   * grid (window_tiles, head_groups), head axis fastest: dx accumulates
+#     in its (fp32) output block across the consecutive head-group steps;
+#   * per-tile dbias PARTIALS go to HBM (one unique block per grid step, no
+#     (nh, N, N) accumulator in VMEM) and are summed by XLA outside;
+#   * weight grads accumulate in head-group-major fp32 scratch and are
+#     written out at the last grid step.
+# Weights are streamed in head-sliced layouts whose trailing dims tile
+# cleanly: wqkv as (3, nh, hd, c), wproj as (nh, hd, c).
+# ---------------------------------------------------------------------------
+
+
+def _bwd_hsplit_vmem_bytes(c: int, num_heads: int, hg_count: int, n: int,
+                           wpb: int = 1, ln: bool = False) -> int:
+    """Scoped-VMEM estimate for one (tile, head-group) step of the
+    head-split backward (double-buffered blocks counted twice)."""
+    nh_g = num_heads // hg_count
+    khg = 3 * nh_g * (c // num_heads)
+    return (2 * wpb * n * c * (2 + 2 + 4)       # x, dy (bf16), dx out (fp32), dbl-buffered
+            + (3 * wpb * n * c * 8 if ln else 0)  # xr32/xhat/dxhat fp32 temps
+            + 2 * (khg * c * 2 + nh_g * (c // num_heads) * c * 2)  # wqkv/wproj blocks
+            + 2 * 2 * nh_g * n * n * 4          # bias in + dbias partial out
+            + wpb * n * khg * 6                 # qkv_hg fp32 + bf16
+            + 4 * wpb * n * n * 4               # live per-head attention temps
+            + 3 * wpb * n * khg * 6             # dout/o/dqkv head-group temps
+            + hg_count * c * khg * 4            # dwqkv scratch (full, persists)
+            + hg_count * khg // 3 * c * 4       # dwproj scratch
+            + hg_count * khg * 4 + c * 4        # dbqkv + dbproj scratch
+            + (2 * c + 2) * c * 4)              # ln scratch + slack
+
+
+def pick_head_split(c: int, num_heads: int, window_size: int,
+                    ln: bool = False,
+                    limit: int = 14 * 1024 * 1024) -> Optional[int]:
+    """Smallest head-group count whose backward step fits scoped VMEM, or
+    None (1 means the whole-head kernel above fits)."""
+    n = window_size ** 3
+    if pallas_train_bwd_vmem_bytes(c, num_heads, window_size,
+                                   ln=ln) <= limit:
+        return 1
+    for hg in range(2, num_heads + 1):
+        if num_heads % hg:
+            continue
+        if _bwd_hsplit_vmem_bytes(c, num_heads, hg, n, ln=ln) <= limit:
+            return hg
+    return None
+
+
+def _bwd_kernel_hsplit(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bias_ref,
+                       dy_ref, dx_ref, dwqkv_ref, dbqkv_ref, dwproj_ref,
+                       dbproj_ref, dbias_ref, *, nh_g: int, wpb: int,
+                       shifted: bool, grid_dims: Tuple[int, int, int],
+                       ws: int, ss: int, acc_ref=None, ln_ref=None,
+                       dln_ref=None, ln_eps: float = 1e-5,
+                       residual: bool = False):
+    """One (window-tile, head-group) step. Refs:
+      x (wpb, n, c) · wqkv (3, nh_g, hd, c) · bqkv (3, nh_g, hd) ·
+      wproj (nh_g, hd, c) · bias (nh_g, n, n) · dy (wpb, n, c)
+    Outs: dx (wpb, n, c) fp32 (accumulated over head groups) · dwqkv
+      (HG, c, 3*nh_g*hd) · dbqkv (HG, 3*nh_g*hd) · dwproj (HG, nh_g*hd, c) ·
+      dbproj (1, c) · dbias partials (1, nh_g, n, n) per step."""
+    n = x_ref.shape[1]
+    c = x_ref.shape[-1]
+    hd = wqkv_ref.shape[2]
+    scale = hd ** -0.5
+    khg = 3 * nh_g * hd
+    nblk = pl.num_programs(0)
+    n_hg = pl.num_programs(1)
+    blk = pl.program_id(0)
+    hg = pl.program_id(1)
+
+    wacc_qkv, wacc_proj, bacc_v, lnacc = acc_ref
+
+    @pl.when((blk == 0) & (hg == 0))
+    def _init():
+        wacc_qkv[:] = jnp.zeros_like(wacc_qkv)
+        wacc_proj[:] = jnp.zeros_like(wacc_proj)
+        bacc_v[:] = jnp.zeros_like(bacc_v)
+        if lnacc is not None:
+            lnacc[:] = jnp.zeros_like(lnacc)
+
+    if ln_ref is not None:
+        xr32 = x_ref[:].reshape(wpb * n, c).astype(jnp.float32)
+        mu = xr32.mean(axis=-1, keepdims=True)
+        var = jnp.maximum(0.0, (xr32 * xr32).mean(axis=-1, keepdims=True)
+                          - mu * mu)
+        inv = jax.lax.rsqrt(var + ln_eps)
+        xhat = (xr32 - mu) * inv
+        xw = (xhat * ln_ref[0] + ln_ref[1]).astype(x_ref.dtype)
+    else:
+        xw = x_ref[:].reshape(wpb * n, c)
+
+    # head-group qkv recompute: (M, c) x (3*nh_g*hd, c) -> (M, 3*nh_g*hd)
+    w_hg = wqkv_ref[:].reshape(khg, c)
+    qkv = jax.lax.dot_general(xw, w_hg, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[:].reshape(khg)).astype(x_ref.dtype)
+    qkv = qkv.reshape(wpb, n, khg)
+
+    mask = (_window_mask(wpb, n, grid_dims, ws, ss) if shifted else None)
+
+    dy = dy_ref[:].reshape(wpb * n, c)
+    wp_hg = wproj_ref[:].reshape(nh_g * hd, c)
+    dout = jax.lax.dot_general(dy, wp_hg, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    dout = dout.astype(x_ref.dtype).reshape(wpb, n, nh_g * hd)
+
+    o_parts = []
+    dq_parts, dk_parts, dv_parts = [], [], []
+    dbias_parts = []
+    for h in range(nh_g):
+        q = qkv[:, :, h * hd:(h + 1) * hd]
+        k = qkv[:, :, (nh_g + h) * hd:(nh_g + h + 1) * hd]
+        v = qkv[:, :, (2 * nh_g + h) * hd:(2 * nh_g + h + 1) * hd]
+        s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32) * scale
+        s = s + bias_ref[h][None]
+        if mask is not None:
+            s = s + mask
+        p32 = jax.nn.softmax(s, axis=-1)
+        p = p32.astype(x_ref.dtype)
+
+        o_parts.append(jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(x_ref.dtype))
+
+        do_h = dout[:, :, h * hd:(h + 1) * hd]
+        dp = jax.lax.dot_general(do_h, v, (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        dv = jax.lax.dot_general(p, do_h, (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        ds = p32 * (dp - jnp.sum(dp * p32, axis=-1, keepdims=True))
+        dbias_parts.append(ds.sum(axis=0))
+        ds_l = (ds * scale).astype(x_ref.dtype)
+        dq_parts.append(jax.lax.dot_general(
+            ds_l, k, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32))
+        dk_parts.append(jax.lax.dot_general(
+            ds_l, q, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32))
+        dv_parts.append(dv)
+
+    dbias_ref[:] = jnp.stack(dbias_parts)[None]  # (1, nh_g, n, n) partials
+
+    o = jnp.concatenate(o_parts, axis=-1).reshape(wpb * n, nh_g * hd)
+    dwproj = jax.lax.dot_general(o, dy, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    wacc_proj[hg] += dwproj
+
+    @pl.when(hg == 0)
+    def _dbproj():
+        on_first = dy.astype(jnp.float32).sum(axis=0)
+        bp = jnp.where(blk == 0, on_first, dbproj_ref[0] + on_first)
+        dbproj_ref[0] = bp
+
+    dqkv = jnp.concatenate(
+        [jnp.concatenate([t for t in dq_parts], axis=-1),
+         jnp.concatenate([t for t in dk_parts], axis=-1),
+         jnp.concatenate([t for t in dv_parts], axis=-1)], axis=-1)
+    dqkv = dqkv.reshape(wpb * n, khg).astype(x_ref.dtype)
+
+    # dx (normed-space for LN) accumulates over head groups in the output
+    dx_part = jax.lax.dot_general(dqkv, w_hg, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+    dx_part = dx_part.reshape(wpb, n, c)
+
+    @pl.when(hg == 0)
+    def _dx_init():
+        dx_ref[:] = dx_part
+
+    @pl.when(hg > 0)
+    def _dx_acc():
+        dx_ref[:] = dx_ref[:] + dx_part
+
+    @pl.when(hg == n_hg - 1)
+    def _dx_final():
+        t = dx_ref[:].reshape(wpb * n, c)
+        if ln_ref is not None:
+            dxhat = t * ln_ref[0]
+            m1 = dxhat.mean(axis=-1, keepdims=True)
+            m2 = (dxhat * xhat).mean(axis=-1, keepdims=True)
+            out = (dxhat - m1 - xhat * m2) * inv
+            lnacc[0] += (t * xhat).sum(axis=0)
+            lnacc[1] += t.sum(axis=0)
+        else:
+            out = t
+        if residual:
+            out = out + dy.astype(jnp.float32)
+        dx_ref[:] = out.reshape(wpb, n, c)
+
+    dwqkv = jax.lax.dot_general(xw, dqkv, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    wacc_qkv[hg] += dwqkv
+    bacc_v[hg] += dqkv.astype(jnp.float32).sum(axis=0)
+
+    @pl.when((blk == nblk - 1) & (hg == n_hg - 1))
+    def _flush():
+        dwqkv_ref[:] = wacc_qkv[:]
+        dwproj_ref[:] = wacc_proj[:]
+        dbqkv_ref[:] = bacc_v[:]
+        if dln_ref is not None:
+            dln_ref[:] = lnacc[:]
+
+
+def _fused_bwd_windows_hsplit(wins, wqkv, bqkv, wproj, bias, dy_wins, *,
+                              num_heads, hg_count, wpb, shifted, grid_dims,
+                              ws, ss, interpret=False, ln=None, ln_eps=1e-5,
+                              residual=False):
+    """Head-split variant of :func:`_fused_bwd_windows`; same return
+    contract (dx in fp32; dbias summed over tiles outside)."""
+    total, n, c = wins.shape
+    nh = num_heads
+    nh_g = nh // hg_count
+    hd = c // nh
+    khg = 3 * nh_g * hd
+    nblk = total // wpb
+
+    # head-sliced weight layouts whose trailing dims tile cleanly
+    wqkv4 = wqkv.reshape(c, 3, nh, hd).transpose(1, 2, 3, 0)   # (3, nh, hd, c)
+    wproj3 = wproj.reshape(nh, hd, c)                          # (nh, hd, c)
+    bqkv3 = bqkv.reshape(3, nh, hd)
+
+    kernel = functools.partial(_bwd_kernel_hsplit, nh_g=nh_g, wpb=wpb,
+                               shifted=shifted, grid_dims=grid_dims, ws=ws,
+                               ss=ss, ln_eps=ln_eps, residual=residual)
+
+    in_specs = [
+        pl.BlockSpec((wpb, n, c), lambda i, g: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, nh_g, hd, c), lambda i, g: (0, g, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, nh_g, hd), lambda i, g: (0, g, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((nh_g, hd, c), lambda i, g: (g, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((nh_g, n, n), lambda i, g: (g, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((wpb, n, c), lambda i, g: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec((wpb, n, c), lambda i, g: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((hg_count, c, khg), lambda i, g: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((hg_count, khg), lambda i, g: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((hg_count, nh_g * hd, c), lambda i, g: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c), lambda i, g: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nh_g, n, n), lambda i, g: (i, g, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((total, n, c), jnp.float32),
+        jax.ShapeDtypeStruct((hg_count, c, khg), jnp.float32),
+        jax.ShapeDtypeStruct((hg_count, khg), jnp.float32),
+        jax.ShapeDtypeStruct((hg_count, nh_g * hd, c), jnp.float32),
+        jax.ShapeDtypeStruct((1, c), jnp.float32),
+        jax.ShapeDtypeStruct((nblk, nh, n, n), jnp.float32),
+    ]
+    args = [wins, wqkv4.astype(wins.dtype), bqkv3.astype(jnp.float32),
+            wproj3.astype(wins.dtype), bias, dy_wins]
+    scratch = [
+        pltpu.VMEM((hg_count, c, khg), jnp.float32),
+        pltpu.VMEM((hg_count, nh_g * hd, c), jnp.float32),
+        pltpu.VMEM((hg_count, khg), jnp.float32),
+    ]
+
+    if ln is not None:
+        in_specs.append(pl.BlockSpec((2, c), lambda i, g: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        out_specs.append(pl.BlockSpec((2, c), lambda i, g: (0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((2, c), jnp.float32))
+        args.append(jnp.stack([ln[0], ln[1]]).astype(jnp.float32))
+        scratch.append(pltpu.VMEM((2, c), jnp.float32))
+
+        def wrapped(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bias_ref, dy_ref,
+                    ln_ref, dx_ref, dwqkv_ref, dbqkv_ref, dwproj_ref,
+                    dbproj_ref, dbias_ref, dln_ref, wacc_q, wacc_p, bacc_v,
+                    lnacc):
+            kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bias_ref, dy_ref,
+                   dx_ref, dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref,
+                   dbias_ref, acc_ref=(wacc_q, wacc_p, bacc_v, lnacc),
+                   ln_ref=ln_ref, dln_ref=dln_ref)
+    else:
+        def wrapped(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bias_ref, dy_ref,
+                    dx_ref, dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref,
+                    dbias_ref, wacc_q, wacc_p, bacc_v):
+            kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bias_ref, dy_ref,
+                   dx_ref, dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref,
+                   dbias_ref, acc_ref=(wacc_q, wacc_p, bacc_v, None))
+
+    bias_h = bias.reshape(nh, n, n)
+    outs = pl.pallas_call(
+        wrapped,
+        grid=(nblk, hg_count),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(args[0], args[1], args[2], args[3], bias_h, *args[5:])
+
+    if ln is not None:
+        dx, dwq3, dbq3, dwp3, dbp, dbias_parts, dln = outs
+    else:
+        dx, dwq3, dbq3, dwp3, dbp, dbias_parts = outs
+
+    # reassemble full-weight layouts
+    dwqkv = dwq3.reshape(hg_count, c, 3, nh_g, hd).transpose(1, 2, 0, 3, 4)
+    dwqkv = dwqkv.reshape(c, 3 * c)
+    dbqkv = dbq3.reshape(hg_count, 3, nh_g, hd).transpose(1, 0, 2, 3)
+    dbqkv = dbqkv.reshape(3 * c)
+    dwproj = dwp3.reshape(c, c)
+    dbproj = dbp[0]
+    dbias = dbias_parts.sum(axis=0)  # (nh, n, n)
+
+    ret = (dx.astype(wins.dtype), dwqkv, dbqkv, dwproj, dbproj, dbias)
+    if ln is not None:
+        ret = ret + (dln,)
+    return ret

@@ -237,3 +237,78 @@ def test_absorbed_vjps_under_remat(monkeypatch, mode):
         np.testing.assert_allclose(
             np.asarray(ap), np.asarray(ar), rtol=5e-4, atol=5e-5,
             err_msg=jax.tree_util.keystr(kr))
+
+
+@pytest.mark.parametrize("shift", [0, 1])
+def test_hsplit_vjp_matches_xla_grads(monkeypatch, shift):
+    """Head-split backward (grid over head groups — the stage-4 VMEM path)
+    == jax.grad of the XLA attention, forced via pick_head_split."""
+    # interpret=True flows through the trainable's nondiff args into both
+    # the forward kernel and the selected backward; only the split choice
+    # needs forcing (the test shape fits the whole-head kernel)
+    monkeypatch.setattr(pwa, "pick_head_split", lambda *a, **k: 2)
+
+    rng = np.random.default_rng(3)
+    b, dims, ws, c, nh = 1, (4, 4, 4), 2, 8, 4
+    x = jnp.asarray(rng.normal(size=(b, *dims, c)).astype(np.float32))
+    p = {
+        "wqkv": jnp.asarray(rng.normal(size=(c, 3 * c)).astype(np.float32) * 0.2),
+        "bqkv": jnp.asarray(rng.normal(size=(3 * c,)).astype(np.float32) * 0.1),
+        "wproj": jnp.asarray(rng.normal(size=(c, c)).astype(np.float32) * 0.2),
+        "bproj": jnp.asarray(rng.normal(size=(c,)).astype(np.float32) * 0.1),
+        "table": jnp.asarray(
+            rng.normal(size=((2 * ws - 1) ** 3, nh)).astype(np.float32) * 0.05),
+    }
+    cot = jnp.asarray(rng.normal(size=(b, *dims, c)).astype(np.float32))
+
+    def loss_pallas(x, wqkv, bqkv, wproj, bproj, table):
+        y = pwa.fused_window_attention_trainable(
+            x, wqkv, bqkv, wproj, bproj, table, ws, nh, shift, 4, True)
+        return (y * cot).sum()
+
+    def loss_xla(x, wqkv, bqkv, wproj, bproj, table):
+        y = _xla_forward(x, {"wqkv": wqkv, "bqkv": bqkv, "wproj": wproj,
+                             "bproj": bproj, "table": table}, ws, nh, shift)
+        return (y * cot).sum()
+
+    args = (x, p["wqkv"], p["bqkv"], p["wproj"], p["bproj"], p["table"])
+    g_pallas = jax.grad(loss_pallas, argnums=(0, 1, 2, 3, 4, 5))(*args)
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2, 3, 4, 5))(*args)
+    names = ("dx", "dwqkv", "dbqkv", "dwproj", "dbproj", "dtable")
+    for name, a, b_ in zip(names, g_pallas, g_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)
+
+
+@pytest.mark.parametrize("residual", [False, True])
+def test_hsplit_ln_vjp_matches_whole_head(monkeypatch, residual):
+    """Head-split LN-absorbed backward == the (gradient-verified) whole-head
+    backward on identical inputs: same grads for x, LN, weights, bias."""
+    rng = np.random.default_rng(5)
+    b, dims, ws, c, nh = 1, (4, 4, 4), 2, 8, 4
+    n = ws ** 3
+    grid_dims = tuple(d // ws for d in dims)
+    total = b * int(np.prod(grid_dims))
+    x = jnp.asarray(rng.normal(size=(b, *dims, c)).astype(np.float32))
+    dy = jnp.asarray(rng.normal(size=(b, *dims, c)).astype(np.float32))
+    wqkv = jnp.asarray(rng.normal(size=(c, 3 * c)).astype(np.float32) * 0.2)
+    bqkv = jnp.asarray(rng.normal(size=(3 * c,)).astype(np.float32) * 0.1)
+    wproj = jnp.asarray(rng.normal(size=(c, c)).astype(np.float32) * 0.2)
+    bias = jnp.asarray(rng.normal(size=(nh, n, n)).astype(np.float32) * 0.05)
+    ln = (jnp.asarray(rng.normal(size=(c,)).astype(np.float32) * 0.3 + 1.0),
+          jnp.asarray(rng.normal(size=(c,)).astype(np.float32) * 0.1))
+
+    from medicalsemseg_tpu.ops.window import window_partition as wpart
+
+    wins = wpart(x, ws)
+    dy_wins = wpart(dy, ws)
+    kw = dict(num_heads=nh, wpb=2, shifted=False, grid_dims=grid_dims,
+              ws=ws, ss=0, interpret=True, ln=ln, residual=residual)
+    ref = pwa._fused_bwd_windows(wins, wqkv, bqkv, wproj, bias, dy_wins,
+                                 **kw)
+    got = pwa._fused_bwd_windows_hsplit(wins, wqkv, bqkv, wproj, bias,
+                                        dy_wins, hg_count=2, **kw)
+    names = ("dx", "dwqkv", "dbqkv", "dwproj", "dbproj", "dbias", "dln")
+    for name, a, b_ in zip(names, got, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)

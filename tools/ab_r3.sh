@@ -42,6 +42,7 @@ run train_baseline            MEDSEG_BENCH_SW=0 MEDSEG_BENCH_TRAIN_BS4=0
 run train_noabsorb            MEDSEG_BENCH_SW=0 MEDSEG_BENCH_TRAIN_BS4=0 MEDSEG_ABSORB=0
 run train_nopatchify          MEDSEG_BENCH_SW=0 MEDSEG_BENCH_TRAIN_BS4=0 MEDSEG_PATCHIFY_TRAIN=0
 run train_flatopt             MEDSEG_BENCH_SW=0 MEDSEG_BENCH_TRAIN_BS4=0 MEDSEG_FLAT_OPT=1
+run train_nohsplit            MEDSEG_BENCH_SW=0 MEDSEG_BENCH_TRAIN_BS4=0 MEDSEG_HSPLIT=0
 run train_winograd            MEDSEG_BENCH_SW=0 MEDSEG_BENCH_TRAIN_BS4=0 MEDSEG_WINOGRAD_TRAIN=1
 run train_dots27              MEDSEG_BENCH_SW=0 MEDSEG_BENCH_TRAIN_BS4=0 MEDSEG_DOTS27_TRAIN=1
 run train_dw27pallas          MEDSEG_BENCH_SW=0 MEDSEG_BENCH_TRAIN_BS4=0 MEDSEG_DW27_PALLAS=1
