@@ -159,6 +159,17 @@ class GCWindowAttention(nn.Module):
         table = self.param("relative_position_bias_table", trunc_normal_init,
                            (table_size, nh), jnp.float32)
 
+        # ref-quirk bias for the fused kernels: pre-gathered outside with
+        # the colliding-stride index (the kernels gather the standard index
+        # themselves when pre_bias is None)
+        pre_bias = None
+        if self.ref_quirk_index and x_volume is not None:
+            n_q = ws ** 3
+            qidx = jnp.asarray(
+                relative_position_index_ref_quirk((ws, ws, ws)))
+            pre_bias = table[qidx.reshape(-1)].reshape(
+                n_q, n_q, nh).transpose(2, 0, 1)
+
         if self.use_global:
             from medicalsemseg_tpu.models.layers import _DenseParams
 
@@ -180,7 +191,7 @@ class GCWindowAttention(nn.Module):
                     wproj_g, bproj_g, table, ws, nh,
                     ln_scale=None if ln is None else ln[0],
                     ln_bias=None if ln is None else ln[1],
-                    residual=residual)
+                    residual=residual, pre_bias=pre_bias)
 
             b_, n, _ = x.shape
             kv = jnp.dot(x, wkv.astype(self.dtype))
@@ -212,14 +223,14 @@ class GCWindowAttention(nn.Module):
 
                 bq = bqkv if bqkv is not None else jnp.zeros(
                     (3 * c,), jnp.float32)
-                if ln is not None or residual:
-                    # inference-only absorbed form (see models/swin.py)
+                if ln is not None or residual or pre_bias is not None:
+                    # inference-only absorbed/quirk form (see models/swin.py)
                     return fused_window_attention(
                         x_volume.astype(self.dtype), wqkv, bq, wproj, bproj,
                         table, ws, nh, 0,
                         ln_scale=None if ln is None else ln[0],
                         ln_bias=None if ln is None else ln[1],
-                        residual=residual)
+                        residual=residual, pre_bias=pre_bias)
                 return fused_window_attention_trainable(
                     x_volume.astype(self.dtype), wqkv, bq, wproj, bproj,
                     table, ws, nh, 0)
@@ -281,12 +292,11 @@ class GCViTBlock(nn.Module):
             ref_quirk_index=self.ref_quirk_index, dtype=self.dtype,
             name="attn")
         # the fused kernels cover BOTH the local and the global-query paths
-        # at inference; training keeps XLA (this pod's AOT compiler rejects
-        # large backward graphs containing the kernel, see NOTES.md)
-        # the fused kernels gather the STANDARD index table, so the quirk
-        # mode keeps the XLA path
+        # at inference (incl. quirk mode — the colliding-stride bias is
+        # pre-gathered and fed via pre_bias); training keeps XLA (this pod's
+        # AOT compiler rejects large backward graphs containing the kernel,
+        # see NOTES.md)
         fuse = (self.use_pallas and deterministic
-                and not self.ref_quirk_index
                 and d % ws == 0 and h % ws == 0 and w % ws == 0)
         # with no layer-scale the kernel also absorbs LN1 and the shortcut
         # (see models/swin.py SwinBlock)

@@ -784,6 +784,7 @@ def fused_global_window_attention(
     ln_bias: Optional[jnp.ndarray] = None,
     ln_eps: float = 1e-5,
     residual: bool = False,
+    pre_bias: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """x (B, D, H, W, C), q_global (B, ws, ws, ws, C) -> (B, D, H, W, C).
 
@@ -813,9 +814,13 @@ def fused_global_window_attention(
     if bkv is None:
         bkv = jnp.zeros((2 * c,), jnp.float32)
 
-    idx = relative_position_index((ws, ws, ws))
-    bias = rel_bias_table[jnp.asarray(idx.reshape(-1))]
-    bias = bias.reshape(n, n, num_heads).transpose(2, 0, 1).astype(jnp.float32)
+    if pre_bias is not None:
+        bias = pre_bias.astype(jnp.float32)  # (nh, N, N), e.g. quirk-indexed
+    else:
+        idx = relative_position_index((ws, ws, ws))
+        bias = rel_bias_table[jnp.asarray(idx.reshape(-1))]
+        bias = bias.reshape(n, n, num_heads).transpose(2, 0, 1).astype(
+            jnp.float32)
 
     wins = window_partition(x, ws)          # (total, N, C), batch-major
     qg = q_global.reshape(b, n, c).astype(x.dtype)

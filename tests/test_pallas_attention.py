@@ -416,3 +416,30 @@ def test_segformer_sr_pallas_matches_xla_interpret(monkeypatch):
     for a, b in zip(out_x, out_p):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_gcvit_ref_quirk_pallas_matches_xla_interpret(monkeypatch):
+    """GC-ViT quirk-index mode also fuses at inference: the colliding-stride
+    bias is pre-gathered and fed via pre_bias to BOTH the local and the
+    global-query kernels."""
+    import medicalsemseg_tpu.ops.pallas.window_attention as pwa
+
+    _patch_interpret(monkeypatch, pwa)
+
+    from medicalsemseg_tpu.models.gcvit import GCViT3D
+
+    kw = dict(in_chans=1, dim=8, depths=(2, 2), num_heads=(2, 2),
+              window_sizes=(2, 2), qkv_bias=True, drop_path_rate=0.0,
+              ref_quirk_index=True)
+    enc_x = GCViT3D(use_pallas=False, **kw)
+    enc_p = GCViT3D(use_pallas=True, **kw)
+    rng = np.random.default_rng(13)
+    vol = jnp.asarray(rng.normal(size=(1, 16, 16, 16, 1)).astype(np.float32))
+    x_in = (vol, None, None)
+    variables = jax.jit(lambda r, x: enc_x.init(r, x, deterministic=True))(
+        jax.random.PRNGKey(0), x_in)
+    out_x = enc_x.apply(variables, x_in, deterministic=True)
+    out_p = enc_p.apply(variables, x_in, deterministic=True)
+    for a, b in zip(out_x, out_p):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
