@@ -165,6 +165,12 @@ def _train_bench(cfg, bs: int = 1) -> dict:
 
 def main():
     enable_compilation_cache()
+    platform = jax.devices()[0].platform
+    if (os.environ.get("MEDSEG_REQUIRE_TPU", "0") == "1"
+            and platform != "tpu"):
+        raise SystemExit(
+            f"MEDSEG_REQUIRE_TPU=1 but the backend is {platform!r} — "
+            "refusing to record non-TPU numbers (tunnel down?)")
     use_pallas = os.environ.get("MEDSEG_BENCH_PALLAS", "1") == "1"
     cfg = Config(model="nnFormerUNETR", vol_size=96, patch_size=2,
                  hidden_dim=48, depths=(2, 2, 2, 2), num_heads=(3, 6, 12, 24),
@@ -227,13 +233,18 @@ def main():
         VOLUME_SHAPE, ROI, scan_interval(VOLUME_SHAPE, ROI, OVERLAP)))
     cpu_vols_per_sec = 1.0 / (n_windows * _load_cpu_baseline())
 
-    extra = {}
+    extra = {"platform": platform}
     if sw_fallback:
         extra["sw_fallback"] = sw_fallback
     if os.environ.get("MEDSEG_BENCH_TRAIN", "1") == "1":
         extra = {**extra, **_train_bench(cfg)}
         if os.environ.get("MEDSEG_BENCH_TRAIN_BS4", "1") == "1":
             extra.update(_train_bench(cfg, bs=4))
+        if os.environ.get("MEDSEG_BENCH_TRAIN_BS8", "0") == "1":
+            # bs8 under remat=conv is a genuine HBM OOM (21.26G of 15.75G,
+            # NOTES.md round-3 log); full-block remat trades recompute for
+            # the decoder activations
+            extra.update(_train_bench(cfg.replace(remat="full"), bs=8))
 
     print(json.dumps({
         "metric": "sliding_window_volumes_per_sec_per_chip",

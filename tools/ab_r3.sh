@@ -16,7 +16,7 @@ run() {
   local name="$1"; shift
   echo "=== $name ($*)" >&2
   local line
-  line=$(env "$@" PYTHONPATH="$PWD:${PYTHONPATH:-}" \
+  line=$(env "$@" MEDSEG_REQUIRE_TPU=1 PYTHONPATH="$PWD:${PYTHONPATH:-}" \
          timeout 2700 python bench.py 2>/dev/null | tail -1)
   if [ -n "$line" ]; then
     printf '{"config": "%s", "result": %s}\n' "$name" "$line" >> "$OUT"
@@ -50,6 +50,9 @@ run train_dw27pallas          MEDSEG_BENCH_SW=0 MEDSEG_BENCH_TRAIN_BS4=0 MEDSEG_
 # --- bs4 batch scaling (VERDICT r2 #4): baseline vs one-pass Pallas dW ---
 run train_bs4_baseline        MEDSEG_BENCH_SW=0
 run train_bs4_dw27pallas      MEDSEG_BENCH_SW=0 MEDSEG_DW27_PALLAS=1
+
+# --- bs8 under full-block remat (bs8 @ remat=conv is an HBM OOM) ---
+run train_bs8_rematfull       MEDSEG_BENCH_SW=0 MEDSEG_BENCH_TRAIN=0 MEDSEG_BENCH_TRAIN_BS8=1
 
 # --- per-op roofline ledgers at the production config (LEDGER.md input) ---
 env PYTHONPATH="$PWD:${PYTHONPATH:-}" timeout 2700 \
