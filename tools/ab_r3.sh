@@ -16,17 +16,23 @@ run() {
   local name="$1"; shift
   echo "=== $name ($*)" >&2
   local line
+  # stderr per config -> tools/ab_logs/ so a null result is diagnosable
+  mkdir -p tools/ab_logs
   line=$(env "$@" MEDSEG_REQUIRE_TPU=1 PYTHONPATH="$PWD:${PYTHONPATH:-}" \
-         timeout 2700 python bench.py 2>/dev/null | tail -1)
+         timeout 2700 python bench.py 2>"tools/ab_logs/$name.log" | tail -1)
   if [ -n "$line" ]; then
     printf '{"config": "%s", "result": %s}\n' "$name" "$line" >> "$OUT"
   else
     printf '{"config": "%s", "result": null}\n' "$name" >> "$OUT"
+    tail -5 "tools/ab_logs/$name.log" >&2
   fi
 }
 
-# --- sliding-window A/B (skip the train bench for speed) ---
+# --- headline configs first (tunnel flaps mid-matrix lose the tail) ---
 run sw_baseline               MEDSEG_BENCH_TRAIN=0
+run train_baseline            MEDSEG_BENCH_SW=0 MEDSEG_BENCH_TRAIN_BS4=0
+
+# --- sliding-window A/B (skip the train bench for speed) ---
 run sw_noabsorb               MEDSEG_BENCH_TRAIN=0 MEDSEG_ABSORB=0
 run sw_fused_decoder          MEDSEG_BENCH_TRAIN=0 MEDSEG_FUSED_DECODER=1
 run sw_winograd               MEDSEG_BENCH_TRAIN=0 MEDSEG_WINOGRAD=1
@@ -38,7 +44,6 @@ run sw_batch24                MEDSEG_BENCH_TRAIN=0 MEDSEG_SW_BATCH=24
 run sw_batch32                MEDSEG_BENCH_TRAIN=0 MEDSEG_SW_BATCH=32
 
 # --- train-step A/B (SW bench skipped via MEDSEG_BENCH_SW=0) ---
-run train_baseline            MEDSEG_BENCH_SW=0 MEDSEG_BENCH_TRAIN_BS4=0
 run train_noabsorb            MEDSEG_BENCH_SW=0 MEDSEG_BENCH_TRAIN_BS4=0 MEDSEG_ABSORB=0
 run train_nopatchify          MEDSEG_BENCH_SW=0 MEDSEG_BENCH_TRAIN_BS4=0 MEDSEG_PATCHIFY_TRAIN=0
 run train_flatopt             MEDSEG_BENCH_SW=0 MEDSEG_BENCH_TRAIN_BS4=0 MEDSEG_FLAT_OPT=1
