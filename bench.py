@@ -111,6 +111,7 @@ def _train_bench(cfg, bs: int = 1) -> dict:
         pass
     if not ok:
         os.environ["MEDSEG_HSPLIT"] = "0"
+        jax.clear_caches()  # the failed jaxpr is cached on the fn identity
         step = jax.jit(make_train_step(cfg), donate_argnums=(0,))
         try:
             state, m = step(state, batch, jax.random.PRNGKey(2))
@@ -120,6 +121,7 @@ def _train_bench(cfg, bs: int = 1) -> dict:
             pass
     if not ok:
         os.environ["MEDSEG_ABSORB"] = "0"
+        jax.clear_caches()
         step = jax.jit(make_train_step(cfg), donate_argnums=(0,))
         try:
             state, m = step(state, batch, jax.random.PRNGKey(2))
@@ -129,6 +131,7 @@ def _train_bench(cfg, bs: int = 1) -> dict:
             pass
     if not ok:
         cfg = cfg.replace(pallas_train=False)
+        jax.clear_caches()
         model = build_model(cfg)
         state, _sched = create_train_state(
             cfg, model, jax.random.PRNGKey(0), x_probe,
@@ -208,8 +211,11 @@ def main():
             _ = float(run(variables, vol, affine, jnp.float32(0)))  # warm
         except Exception:
             # drop the round-3 absorption kernels and re-trace (see
-            # ops/pallas/__init__.absorb_enabled)
+            # ops/pallas/__init__.absorb_enabled). clear_caches: the traced
+            # jaxpr (which still holds the rejected kernel — erfc failed at
+            # LOWERING, after tracing) is cached on _run's identity
             os.environ["MEDSEG_ABSORB"] = "0"
+            jax.clear_caches()
             run = jax.jit(_run)
             _ = float(run(variables, vol, affine, jnp.float32(0)))
             sw_fallback = "no_absorb"

@@ -35,6 +35,26 @@ from jax.experimental.pallas import tpu as pltpu
 _INV_SQRT2 = 0.7071067811865476
 _INV_SQRT_2PI = 0.3989422804014327
 
+
+def _erf(x: jnp.ndarray) -> jnp.ndarray:
+    """fp32 erf via Abramowitz & Stegun 7.1.26 (|abs err| <= 1.5e-7).
+
+    Mosaic TPU (jax 0.9) has no lowering for erf/erfc, so the in-kernel
+    exact GELU evaluates this polynomial instead of jax.nn.gelu's erfc —
+    the 1.5e-7 absolute error is ~fp32 ulp scale and far below the bf16
+    activation precision the kernels run at."""
+    s = jnp.sign(x)
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return s * (1.0 - poly * jnp.exp(-a * a))
+
+
+def _gelu_cdf(h: jnp.ndarray) -> jnp.ndarray:
+    """Phi(h) = 0.5 * (1 + erf(h / sqrt(2))) — the exact-GELU gate."""
+    return 0.5 * (1.0 + _erf(h * _INV_SQRT2))
+
 # test hook: CPU suites force interpret mode (monkeypatched, not an env knob)
 _FORCE_INTERPRET = False
 
@@ -53,7 +73,7 @@ def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *,
         xn = xr
     h = jnp.dot(xn, w1_ref[:], preferred_element_type=jnp.float32)
     h = h + b1_ref[:]
-    h = jax.nn.gelu(h, approximate=False).astype(x_ref.dtype)
+    h = (h * _gelu_cdf(h)).astype(x_ref.dtype)
     y = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
     y = (y + b2_ref[:]).astype(x_ref.dtype)
     if residual:
@@ -186,7 +206,8 @@ def _bwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, ln_ref, dy_ref,
     xn = (xhat * ln_ref[0] + ln_ref[1]).astype(x_ref.dtype)
     h = jnp.dot(xn, w1_ref[:], preferred_element_type=jnp.float32)
     h = h + b1_ref[:]
-    hb = jax.nn.gelu(h, approximate=False).astype(x_ref.dtype)
+    Phi = _gelu_cdf(h)
+    hb = (h * Phi).astype(x_ref.dtype)
 
     dy = dy_ref[:]
     dy32 = dy.astype(jnp.float32)
@@ -198,7 +219,6 @@ def _bwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, ln_ref, dy_ref,
     da = jnp.dot(dy, w2_ref[:].T, preferred_element_type=jnp.float32)
 
     # --- exact-GELU backward: Phi(h) + h * phi(h) ---
-    Phi = 0.5 * (1.0 + jax.lax.erf(h * _INV_SQRT2))
     phi = jnp.exp(-0.5 * h * h) * _INV_SQRT_2PI
     dh = da * (Phi + h * phi)
     dhb = dh.astype(x_ref.dtype)
