@@ -927,7 +927,7 @@ def _bwd_kernel_hsplit(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bias_ref,
                        dln_ref=None, ln_eps: float = 1e-5,
                        residual: bool = False):
     """One (window-tile, head-group) step. Refs:
-      x (wpb, n, c) · wqkv (3, nh_g, hd, c) · bqkv (3, nh_g, hd) ·
+      x (wpb, n, c) · wqkv (3, nh_g, hd, c) · bqkv (1, 8, 3*nh_g*hd) ·
       wproj (nh_g, hd, c) · bias (nh_g, n, n) · dy (wpb, n, c)
     Outs: dx (wpb, n, c) fp32 (accumulated over head groups) · dwqkv
       (HG, c, 3*nh_g*hd) · dbqkv (HG, 3*nh_g*hd) · dwproj (HG, nh_g*hd, c) ·
@@ -967,7 +967,7 @@ def _bwd_kernel_hsplit(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bias_ref,
     w_hg = wqkv_ref[:].reshape(khg, c)
     qkv = jax.lax.dot_general(xw, w_hg, (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    qkv = (qkv + bqkv_ref[:].reshape(khg)).astype(x_ref.dtype)
+    qkv = (qkv + bqkv_ref[0, 0]).astype(x_ref.dtype)
     qkv = qkv.reshape(wpb, n, khg)
 
     mask = (_window_mask(wpb, n, grid_dims, ws, ss) if shifted else None)
@@ -1091,7 +1091,15 @@ def _fused_bwd_windows_hsplit(wins, wqkv, bqkv, wproj, bias, dy_wins, *,
     # head-sliced weight layouts whose trailing dims tile cleanly
     wqkv4 = wqkv.reshape(c, 3, nh, hd).transpose(1, 2, 3, 0)   # (3, nh, hd, c)
     wproj3 = wproj.reshape(nh, hd, c)                          # (nh, hd, c)
-    bqkv3 = bqkv.reshape(3, nh, hd)
+    # qkv bias in group-major (HG, 8, khg) layout: one pre-flattened
+    # (3*nh_g*hd) row per head group, tiled to 8 sublanes so the (1, 8, khg)
+    # block satisfies Mosaic's (8,128) tiling rule for any head-group count
+    # (a (3, nh_g, hd) block with nh_g not 8-divisible is rejected at
+    # lowering — stage 4 hit this — and an in-kernel reshape of the loaded
+    # vector is an unsupported Mosaic shape cast)
+    bqkv_grp = (bqkv.reshape(3, hg_count, nh_g * hd)
+                .transpose(1, 0, 2).reshape(hg_count, 1, khg))
+    bqkv_grp = jnp.broadcast_to(bqkv_grp, (hg_count, 8, khg))
 
     kernel = functools.partial(_bwd_kernel_hsplit, nh_g=nh_g, wpb=wpb,
                                shifted=shifted, grid_dims=grid_dims, ws=ws,
@@ -1102,7 +1110,7 @@ def _fused_bwd_windows_hsplit(wins, wqkv, bqkv, wproj, bias, dy_wins, *,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((3, nh_g, hd, c), lambda i, g: (0, g, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((3, nh_g, hd), lambda i, g: (0, g, 0),
+        pl.BlockSpec((1, 8, khg), lambda i, g: (g, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((nh_g, hd, c), lambda i, g: (g, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -1132,7 +1140,7 @@ def _fused_bwd_windows_hsplit(wins, wqkv, bqkv, wproj, bias, dy_wins, *,
         jax.ShapeDtypeStruct((1, c), jnp.float32),
         jax.ShapeDtypeStruct((nblk, nh, n, n), jnp.float32),
     ]
-    args = [wins, wqkv4.astype(wins.dtype), bqkv3.astype(jnp.float32),
+    args = [wins, wqkv4.astype(wins.dtype), bqkv_grp.astype(jnp.float32),
             wproj3.astype(wins.dtype), bias, dy_wins]
     scratch = [
         pltpu.VMEM((hg_count, c, khg), jnp.float32),

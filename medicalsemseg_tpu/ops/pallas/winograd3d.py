@@ -71,9 +71,9 @@ def _combine4(p0, p1, p2, p3):
 
 
 def _kernel(xe_hbm, xo_hbm, w_ref, ye_ref, yo_ref, xe_v, xo_v, sems, *,
-            bd: int, bh: int, bwq: int, cin: int, cout: int, out_dtype,
-            ep_ref=None, lrelu: bool = False, neg_slope: float = 0.01,
-            dims=None):
+            bd: int, bh: int, bwq: int, bwq_pad: int, cin: int, cout: int,
+            out_dtype, ep_ref=None, lrelu: bool = False,
+            neg_slope: float = 0.01, dims=None):
     b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
@@ -92,7 +92,7 @@ def _kernel(xe_hbm, xo_hbm, w_ref, ye_ref, yo_ref, xe_v, xo_v, sems, *,
     t, u = bd // 2, bh // 2
     mrows = t * u * bwq
 
-    xe = xe_v[:]            # (bd+2, bh+2, bwq+1, C) bf16
+    xe = xe_v[:]            # (bd+2, bh+2, bwq_pad, C) bf16
     xo = xo_v[:]
 
     if ep_ref is not None:
@@ -116,7 +116,7 @@ def _kernel(xe_hbm, xo_hbm, w_ref, ye_ref, yo_ref, xe_v, xo_v, sems, *,
                   + jax.lax.broadcasted_iota(jnp.int32,
                                              (1, bh + 2, 1, 1), 1))
             gw = (2 * jax.lax.broadcasted_iota(jnp.int32,
-                                               (1, 1, bwq + 1, 1), 2)
+                                               (1, 1, bwq_pad, 1), 2)
                   + wphase)
             pad = ((gd == 0) | (gd == dd + 1) | (gh == 0) | (gh == hh + 1)
                    | (gw == 0) | (gw == ww + 1))
@@ -234,15 +234,20 @@ def winograd_conv3d_f23(x: jnp.ndarray, w: jnp.ndarray,
 
     wino_w = transform_weights_f23(w).astype(x.dtype)
 
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
-    xe = xp[:, :, :, 0::2]   # (B, D+2, H+2, W/2+1, C)
+    # pad the phase axis (W/2+1) to an 8-multiple: the manual HBM->VMEM DMA
+    # slices leading dims at runtime offsets, and Mosaic requires the sliced
+    # memref's sublane dim to be tiling-aligned (49 is rejected at lowering)
+    bwq_pad = -(-(bwq + 1) // 8) * 8
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1),
+                     (1, 2 * bwq_pad - wd - 1), (0, 0)))
+    xe = xp[:, :, :, 0::2]   # (B, D+2, H+2, bwq_pad, C)
     xo = xp[:, :, :, 1::2]
 
     grid = (b, d // block_d, h // block_h)
     kern = functools.partial(_kernel, bd=block_d, bh=block_h, bwq=bwq,
-                             cin=c, cout=co, out_dtype=x.dtype,
-                             lrelu=lrelu, neg_slope=neg_slope,
-                             dims=(d, h, wd))
+                             bwq_pad=bwq_pad, cin=c, cout=co,
+                             out_dtype=x.dtype, lrelu=lrelu,
+                             neg_slope=neg_slope, dims=(d, h, wd))
     in_specs = [
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -281,8 +286,8 @@ def winograd_conv3d_f23(x: jnp.ndarray, w: jnp.ndarray,
             jax.ShapeDtypeStruct((b, d, h, bwq, co), x.dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((block_d + 2, block_h + 2, bwq + 1, c), x.dtype),
-            pltpu.VMEM((block_d + 2, block_h + 2, bwq + 1, c), x.dtype),
+            pltpu.VMEM((block_d + 2, block_h + 2, bwq_pad, c), x.dtype),
+            pltpu.VMEM((block_d + 2, block_h + 2, bwq_pad, c), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,

@@ -28,8 +28,6 @@ def build_and_trace(sw_batch: int, steps: int, outdir: str,
 
     from medicalsemseg_tpu.config import Config
     from medicalsemseg_tpu.models import build_model
-    from medicalsemseg_tpu.train.state import (create_train_state,
-                                               make_eval_forward)
     from medicalsemseg_tpu.utils.jitutil import enable_compilation_cache
 
     enable_compilation_cache()
@@ -43,18 +41,20 @@ def build_and_trace(sw_batch: int, steps: int, outdir: str,
     img = jnp.asarray(rng.normal(size=(sw_batch, *v, 1)).astype(np.float32))
     x_probe = (img, jnp.full((sw_batch, 3), 0.5, jnp.float32),
                jnp.ones((sw_batch, 3), jnp.float32))
-    state, _ = create_train_state(cfg, model, jax.random.PRNGKey(0), x_probe,
-                                  steps_per_epoch=100)
-    raw = make_eval_forward(cfg, model)
+    # params only — create_train_state would park ~1 GB of AdamW moments in
+    # HBM for an eval-only profile (it pushed the bs16 forward into OOM)
+    variables = jax.jit(lambda r, x: model.init(r, x, deterministic=True))(
+        jax.random.PRNGKey(0), x_probe)
     # mean computed IN-GRAPH: an eager mean over (16,96^3,14) logits both
     # costs a round-trip and doubles peak HBM (it OOMed this pod)
-    fwd = jax.jit(lambda s, x: jnp.mean(raw(s, x).astype(jnp.float32)))
-    print("warm out:", float(fwd(state, x_probe)), flush=True)
+    fwd = jax.jit(lambda vs, x: jnp.mean(
+        model.apply(vs, x, deterministic=True).astype(jnp.float32)))
+    print("warm out:", float(fwd(variables, x_probe)), flush=True)
 
     os.makedirs(outdir, exist_ok=True)
     with jax.profiler.trace(outdir):
         for _ in range(steps):
-            _ = float(fwd(state, x_probe))
+            _ = float(fwd(variables, x_probe))
 
 
 def main():
