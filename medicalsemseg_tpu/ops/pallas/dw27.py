@@ -121,11 +121,18 @@ def dw27_pallas(x: jnp.ndarray, dy: jnp.ndarray,
     assert dw27_applicable((d, h, w), c), (x.shape,)
     interpret = interpret or _FORCE_INTERPRET
 
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+    # lane-pad C to a 128 multiple: the manual HBM->VMEM DMA requires the
+    # sliced memref's last dim to be tiling-aligned (a full-but-96-lane
+    # slice of the 128-padded tiled memref is rejected at lowering). The
+    # extra lanes are zeros, so the tap dots produce zero rows that are
+    # sliced off below; MXU cost is unchanged (the contraction already
+    # runs on 128-wide tiles).
+    c_pad = -(-c // 128) * 128
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, c_pad - c)))
     # pre-split w shifts: xw[k][..., i, :] == xp[..., i + k, :]
-    xw = [xp[:, :, :, k:k + w] for k in range(3)]    # (B, D+2, H+2, W, C)
+    xw = [xp[:, :, :, k:k + w] for k in range(3)]  # (B, D+2, H+2, W, c_pad)
 
-    hc = _pick_hc(h, w, c, np.dtype(x.dtype).itemsize)
+    hc = _pick_hc(h, w, c_pad, np.dtype(x.dtype).itemsize)
     grid = (b, d, h // hc)
 
     out = pl.pallas_call(
@@ -138,16 +145,16 @@ def dw27_pallas(x: jnp.ndarray, dy: jnp.ndarray,
             pl.BlockSpec((1, 1, hc, w, co), lambda b, d, j: (b, d, j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((27, c, co), lambda b, d, j: (0, 0, 0),
+        out_specs=pl.BlockSpec((27, c_pad, co), lambda b, d, j: (0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((27, c, co), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((27, c_pad, co), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((3, hc + 2, w, c), x.dtype),
-            pltpu.VMEM((3, hc + 2, w, c), x.dtype),
-            pltpu.VMEM((3, hc + 2, w, c), x.dtype),
+            pltpu.VMEM((3, hc + 2, w, c_pad), x.dtype),
+            pltpu.VMEM((3, hc + 2, w, c_pad), x.dtype),
+            pltpu.VMEM((3, hc + 2, w, c_pad), x.dtype),
             pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,
     )(xw[0], xw[1], xw[2], dy)
 
-    return out.reshape(3, 3, 3, c, co)
+    return out[:, :c].reshape(3, 3, 3, c, co)
