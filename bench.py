@@ -54,15 +54,38 @@ def _load_cpu_baseline() -> float:
     return float(data["cpu_measured"]["seconds_per_window_fp32"])
 
 
-def _measure_roundtrip() -> float:
-    """Measured tunnel round-trip via a trivial jitted readback
-    (block_until_ready does not block through the axon tunnel)."""
+def _measure_roundtrip(n: int = 10) -> float:
+    """MINIMUM tunnel round-trip over n trivial jitted readbacks
+    (block_until_ready does not block through the axon tunnel). The
+    minimum pairs with per-iteration minimum timing below: tunnel latency
+    drifts by tens of ms across a matrix run, and mean-minus-mean mixes
+    two different drift windows."""
     trivial = jax.jit(lambda x: x.sum())
     _ = float(trivial(jnp.ones(8)))
-    t0 = time.time()
-    for _ in range(5):
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.time()
         _ = float(trivial(jnp.ones(8)))
-    return (time.time() - t0) / 5
+        best = min(best, time.time() - t0)
+    return best
+
+
+def _timed_min(fn, n_iters: int) -> float:
+    """Best single-iteration wall time minus the best measured round-trip.
+    Each iteration ends in a scalar readback, so iter time = device time +
+    that iteration's tunnel round-trip; the minimum over iterations is the
+    device time plus the BEST round-trip seen, which the subtraction
+    matches. Robust to one-sided latency spikes that skew a mean."""
+    rt = _measure_roundtrip()
+    best = float("inf")
+    for i in range(n_iters):
+        t0 = time.time()
+        fn(i)
+        best = min(best, time.time() - t0)
+    rt = min(rt, _measure_roundtrip())
+    dt = best - rt
+    assert dt > 0, "timing anomaly: round-trip exceeded iteration time"
+    return dt
 
 
 def _train_bench(cfg, bs: int = 1) -> dict:
@@ -140,16 +163,14 @@ def _train_bench(cfg, bs: int = 1) -> dict:
         state, m = step(state, batch, jax.random.PRNGKey(2))
         _ = float(m["loss"])
         fallback = "no_pallas_train"
-    rt = _measure_roundtrip()
+    states = {"state": state}
 
-    n_iters = 10
-    t0 = time.time()
-    for i in range(n_iters):
-        state, m = step(state, batch, jax.random.fold_in(
+    def _one(i):
+        states["state"], m = step(states["state"], batch, jax.random.fold_in(
             jax.random.PRNGKey(3), i))
         _ = float(m["loss"])  # forces completion of the enqueued step
-    dt = (time.time() - t0) / n_iters - rt
-    assert dt > 0, "timing anomaly: round-trip exceeded step time"
+
+    dt = _timed_min(_one, n_iters=12)
 
     peak_tflops = float(os.environ.get("MEDSEG_PEAK_TFLOPS", "197"))
     suffix = "" if bs == 1 else f"_bs{bs}"
@@ -220,14 +241,9 @@ def main():
             _ = float(run(variables, vol, affine, jnp.float32(0)))
             sw_fallback = "no_absorb"
 
-        rt = _measure_roundtrip()
-
-        n_iters = 5
-        t0 = time.time()
-        for i in range(n_iters):
-            _ = float(run(variables, vol, affine, jnp.float32(i)))
-        dt = (time.time() - t0) / n_iters - rt
-        assert dt > 0, "timing anomaly: round-trip exceeded iteration"
+        dt = _timed_min(
+            lambda i: float(run(variables, vol, affine, jnp.float32(i))),
+            n_iters=6)
 
         vols_per_sec = 1.0 / dt
     else:

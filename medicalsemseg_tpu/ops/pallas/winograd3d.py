@@ -232,33 +232,39 @@ def winograd_conv3d_f23(x: jnp.ndarray, w: jnp.ndarray,
     bwq = wd // 2
     interpret = interpret or _FORCE_INTERPRET
 
-    wino_w = transform_weights_f23(w).astype(x.dtype)
-
-    # pad the phase axis (W/2+1) to an 8-multiple: the manual HBM->VMEM DMA
-    # slices leading dims at runtime offsets, and Mosaic requires the sliced
-    # memref's sublane dim to be tiling-aligned (49 is rejected at lowering)
+    # tiling-align BOTH trailing dims of the manual HBM->VMEM DMA (Mosaic
+    # rejects unaligned extents at lowering, measured on v5e): the phase
+    # axis (W/2+1=49) pads to an 8-multiple and the channel axis lane-pads
+    # to a 128-multiple. Zero input lanes contribute zero to the tap dots
+    # and cost no MXU cycles (the contraction already runs on 128-wide
+    # tiles); only the input DMA bytes grow.
+    c_pad = -(-c // 128) * 128
     bwq_pad = -(-(bwq + 1) // 8) * 8
+    wino_w = transform_weights_f23(w).astype(x.dtype)
+    wino_w = jnp.pad(wino_w, ((0, 0), (0, c_pad - c), (0, 0)))
+
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1),
-                     (1, 2 * bwq_pad - wd - 1), (0, 0)))
-    xe = xp[:, :, :, 0::2]   # (B, D+2, H+2, bwq_pad, C)
+                     (1, 2 * bwq_pad - wd - 1), (0, c_pad - c)))
+    xe = xp[:, :, :, 0::2]   # (B, D+2, H+2, bwq_pad, c_pad)
     xo = xp[:, :, :, 1::2]
 
     grid = (b, d // block_d, h // block_h)
     kern = functools.partial(_kernel, bd=block_d, bh=block_h, bwq=bwq,
-                             bwq_pad=bwq_pad, cin=c, cout=co,
+                             bwq_pad=bwq_pad, cin=c_pad, cout=co,
                              out_dtype=x.dtype, lrelu=lrelu,
                              neg_slope=neg_slope, dims=(d, h, wd))
     in_specs = [
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((64, c, co), lambda b, i, j: (0, 0, 0),
+            pl.BlockSpec((64, c_pad, co), lambda b, i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
     ]
     args = [xe, xo, wino_w]
     if epilogue is not None:
         scale, shift = epilogue
         ep = jnp.stack([scale, shift], axis=1).astype(jnp.float32)  # (B,2,C)
-        in_specs.append(pl.BlockSpec((1, 2, c), lambda b, i, j: (b, 0, 0),
+        ep = jnp.pad(ep, ((0, 0), (0, 0), (0, c_pad - c)))
+        in_specs.append(pl.BlockSpec((1, 2, c_pad), lambda b, i, j: (b, 0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(ep)
 
@@ -286,8 +292,8 @@ def winograd_conv3d_f23(x: jnp.ndarray, w: jnp.ndarray,
             jax.ShapeDtypeStruct((b, d, h, bwq, co), x.dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((block_d + 2, block_h + 2, bwq_pad, c), x.dtype),
-            pltpu.VMEM((block_d + 2, block_h + 2, bwq_pad, c), x.dtype),
+            pltpu.VMEM((block_d + 2, block_h + 2, bwq_pad, c_pad), x.dtype),
+            pltpu.VMEM((block_d + 2, block_h + 2, bwq_pad, c_pad), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
