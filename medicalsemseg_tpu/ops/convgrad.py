@@ -106,16 +106,24 @@ _WINOGRAD_INFER = _os.environ.get("MEDSEG_WINOGRAD", "0") != "0"
 _WINOGRAD_TRAIN = _os.environ.get("MEDSEG_WINOGRAD_TRAIN", "0") != "0"
 
 # One-HBM-pass Pallas dW (ops/pallas/dw27.py): same tap formulation, VMEM-
-# resident accumulator — covers the sizes where the XLA taps turn HBM-bound
-# (bs >= 2, the 96->48 up-block convs). A/B-gated pending TPU measurement.
-_DW27_PALLAS = _os.environ.get("MEDSEG_DW27_PALLAS", "0") != "0"
+# resident accumulator — covers the sizes where the XLA taps turn HBM-bound.
+# Measured on v5e (tools/ab_r3c.jsonl): bs4 flagship step 543.9 ms with the
+# kernel vs 628.7 ms XLA (+15.6%), but bs1 213.5 vs 180 ms (the XLA taps
+# win below the HBM-bound crossover). Default is therefore size-based
+# ("auto": kernel above _DW27_MAX_VOXELS only); MEDSEG_DW27_PALLAS=1/0
+# forces it on/off everywhere (A/B hook).
+_DW27_PALLAS = _os.environ.get("MEDSEG_DW27_PALLAS", "auto")
 
 
 def _dw27_pallas_eligible(x: jnp.ndarray) -> bool:
     import jax as _jax
     from medicalsemseg_tpu.ops.pallas import dw27 as _k
 
-    return (_DW27_PALLAS
+    if _DW27_PALLAS == "0" or _DW27_PALLAS is False:
+        return False
+    want = (_DW27_PALLAS in ("1", True)
+            or int(np.prod(x.shape[:-1])) > _DW27_MAX_VOXELS)
+    return (want
             and (_jax.default_backend() != "cpu" or _k._FORCE_INTERPRET)
             and _k.dw27_applicable(tuple(x.shape[1:4]), x.shape[-1]))
 
