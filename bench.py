@@ -262,7 +262,7 @@ def main():
         extra = {**extra, **_train_bench(cfg)}
         if os.environ.get("MEDSEG_BENCH_TRAIN_BS4", "1") == "1":
             extra.update(_train_bench(cfg, bs=4))
-    if os.environ.get("MEDSEG_BENCH_TRAIN_BS8", "0") == "1":
+    if os.environ.get("MEDSEG_BENCH_TRAIN_BS8", "1") == "1":
         # independent of MEDSEG_BENCH_TRAIN so a bs8-only run is possible.
         # bs8 under remat=conv is a genuine HBM OOM (21.26G of 15.75G,
         # NOTES.md round-3 log); full-block remat trades recompute for

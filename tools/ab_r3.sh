@@ -18,7 +18,7 @@ run() {
   local line
   # stderr per config -> tools/ab_logs/ so a null result is diagnosable
   mkdir -p tools/ab_logs
-  line=$(env "$@" MEDSEG_REQUIRE_TPU=1 PYTHONPATH="$PWD:${PYTHONPATH:-}" \
+  line=$(env MEDSEG_BENCH_TRAIN_BS8=0 "$@" MEDSEG_REQUIRE_TPU=1 PYTHONPATH="$PWD:${PYTHONPATH:-}" \
          timeout 2700 python bench.py 2>"tools/ab_logs/$name.log" | tail -1)
   if [ -n "$line" ]; then
     printf '{"config": "%s", "result": %s}\n' "$name" "$line" >> "$OUT"
