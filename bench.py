@@ -153,6 +153,18 @@ def _train_bench(cfg, bs: int = 1) -> dict:
         except Exception:
             pass
     if not ok:
+        # the auto-selected Pallas dW (ops/convgrad.py) triples the
+        # per-conv x reads; at bs8 + remat=full that can tip HBM over
+        os.environ["MEDSEG_DW27_PALLAS"] = "0"
+        jax.clear_caches()
+        step = jax.jit(make_train_step(cfg), donate_argnums=(0,))
+        try:
+            state, m = step(state, batch, jax.random.PRNGKey(2))
+            _ = float(m["loss"])
+            fallback, ok = "no_dw27", True
+        except Exception:
+            pass
+    if not ok:
         cfg = cfg.replace(pallas_train=False)
         jax.clear_caches()
         model = build_model(cfg)
@@ -258,16 +270,23 @@ def main():
     extra = {"platform": platform}
     if sw_fallback:
         extra["sw_fallback"] = sw_fallback
+    def _try_bench(label, *args, **kw):
+        # one failed leg must not cost the whole benchmark line
+        try:
+            extra.update(_train_bench(*args, **kw))
+        except Exception as e:
+            extra[f"{label}_error"] = type(e).__name__
+
     if os.environ.get("MEDSEG_BENCH_TRAIN", "1") == "1":
         extra = {**extra, **_train_bench(cfg)}
         if os.environ.get("MEDSEG_BENCH_TRAIN_BS4", "1") == "1":
-            extra.update(_train_bench(cfg, bs=4))
+            _try_bench("train_bs4", cfg, bs=4)
     if os.environ.get("MEDSEG_BENCH_TRAIN_BS8", "1") == "1":
         # independent of MEDSEG_BENCH_TRAIN so a bs8-only run is possible.
         # bs8 under remat=conv is a genuine HBM OOM (21.26G of 15.75G,
         # NOTES.md round-3 log); full-block remat trades recompute for
         # the decoder activations
-        extra.update(_train_bench(cfg.replace(remat="full"), bs=8))
+        _try_bench("train_bs8", cfg.replace(remat="full"), bs=8)
 
     print(json.dumps({
         "metric": "sliding_window_volumes_per_sec_per_chip",
