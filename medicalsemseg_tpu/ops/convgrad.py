@@ -121,8 +121,12 @@ def _dw27_pallas_eligible(x: jnp.ndarray) -> bool:
 
     if _DW27_PALLAS == "0" or _DW27_PALLAS is False:
         return False
+    voxels = int(np.prod(x.shape[:-1]))
+    # upper bound: the kernel's three lane-padded x copies are live per conv
+    # gradient; at bs8 96^3 (7.1M voxels, remat=full) they tip the flagship
+    # step into HBM OOM (16.15G/15.75G measured), while bs4 (3.5M) wins
     want = (_DW27_PALLAS in ("1", True)
-            or int(np.prod(x.shape[:-1])) > _DW27_MAX_VOXELS)
+            or _DW27_MAX_VOXELS < voxels <= 4_000_000)
     return (want
             and (_jax.default_backend() != "cpu" or _k._FORCE_INTERPRET)
             and _k.dw27_applicable(tuple(x.shape[1:4]), x.shape[-1]))
