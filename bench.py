@@ -284,9 +284,13 @@ def main():
     if os.environ.get("MEDSEG_BENCH_TRAIN_BS8", "1") == "1":
         # independent of MEDSEG_BENCH_TRAIN so a bs8-only run is possible.
         # bs8 under remat=conv is a genuine HBM OOM (21.26G of 15.75G,
-        # NOTES.md round-3 log); full-block remat trades recompute for
-        # the decoder activations
-        _try_bench("train_bs8", cfg.replace(remat="full"), bs=8)
+        # NOTES.md round-3 log); "mixed" keeps conv-saving everywhere but
+        # the full-res decoder blocks (the OOM source), which remat fully.
+        bs8_remat = os.environ.get("MEDSEG_BS8_REMAT", "mixed")
+        _try_bench("train_bs8", cfg.replace(remat=bs8_remat), bs=8)
+        if bs8_remat != "full" and "train_bs8_error" in extra:
+            # fallback rung: the known-good full-block remat config
+            _try_bench("train_bs8_full", cfg.replace(remat="full"), bs=8)
 
     print(json.dumps({
         "metric": "sliding_window_volumes_per_sec_per_chip",

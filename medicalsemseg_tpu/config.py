@@ -168,7 +168,9 @@ class Config:
     # measured FREE at batch 1 (268.5 vs 268.6 ms/step) and it unblocks the
     # whole-graph backward at batch >= 2 on this pod's AOT compiler
     # (bs2: 4.10 crops/s vs 3.68 at bs1); "full" is the classic trade of
-    # recompute FLOPs for HBM; "none" disables
+    # recompute FLOPs for HBM; "mixed" = "conv" everywhere except the
+    # decoder's full-resolution blocks (whose saved conv outputs are the
+    # bs8 HBM OOM under "conv"), which remat fully; "none" disables
     tta_mirror: bool = False  # nn-UNet-style 8-way flip TTA at inference
     sw_bucket_multiple: int = 32  # pad eval volumes to spatial multiples to
     # bound sliding-window recompilations (static shapes, SURVEY.md §7.4)
@@ -356,7 +358,7 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--grad_accum_steps", type=int, default=1)
     _add_bool_flag(g, "tta_mirror", False)
     g.add_argument("--remat", nargs="?", const="conv", default="conv",
-                   choices=["none", "conv", "full"],
+                   choices=["none", "conv", "full", "mixed"],
                    help="rematerialize model blocks; 'conv' (default) saves "
                         "conv outputs and replays only elementwise chains. "
                         "NB: bare --remat used to mean 'full' (round-1 bool "

@@ -169,15 +169,21 @@ class SwinUNETRDecoder(nn.Module):
         # remat partitions the decoder backward into per-block computations:
         # the whole-graph backward at batch >= 2 crashes this pod's AOT
         # compiler even though every block compiles individually. Mode "conv"
-        # saves the conv outputs so the replay is elementwise-only.
+        # saves the conv outputs so the replay is elementwise-only; mode
+        # "mixed" keeps that for the low-resolution blocks but fully remats
+        # the FULL-RES blocks (encoder0/decoder0) whose saved, lane-padded
+        # conv outputs are what OOMs HBM at bs8 under "conv".
         res_cls = remat_module(UnetResBlock, self.remat, static_argnums=(2,))
         up_cls = remat_module(UnetrUpBlock, self.remat, static_argnums=(3, 4))
+        hires = "full" if self.remat == "mixed" else self.remat
+        res_cls_hi = remat_module(UnetResBlock, hires, static_argnums=(2,))
+        up_cls_hi = remat_module(UnetrUpBlock, hires, static_argnums=(3, 4))
 
         # fused winograd+IN-epilogue conv blocks (inference only, A/B-gated)
         fuse = deterministic and decoder_fuse_enabled()
 
         # per-scale residual refiners ("unet_encoders" in the reference)
-        enc0 = res_cls(h, dtype=self.dtype, name="encoder0")(
+        enc0 = res_cls_hi(h, dtype=self.dtype, name="encoder0")(
             vol.astype(self.dtype), fuse)
         enc = [res_cls(h, dtype=self.dtype, name="encoder1")(z[0], fuse)]
         for i in range(nl):
@@ -189,8 +195,8 @@ class SwinUNETRDecoder(nn.Module):
         for i in range(nl - 1, -1, -1):
             x = up_cls(h * 2 ** i, dtype=self.dtype,
                        name=f"decoder{i + 1}")(x, enc[i], deterministic, fuse)
-        x = up_cls(h, upsample=self.patch_size, dtype=self.dtype,
-                   name="decoder0")(x, enc0, deterministic, fuse)
+        x = up_cls_hi(h, upsample=self.patch_size, dtype=self.dtype,
+                      name="decoder0")(x, enc0, deterministic, fuse)
         return UnetOutBlock(self.out_channels, dtype=self.dtype, name="out")(x)
 
 

@@ -35,12 +35,16 @@ def remat_module(cls, mode, static_argnums: Tuple[int, ...] = ()):
         recomputes only the cheap elementwise norm/activation chains, keeping
         compiler live-range pressure low without re-running any convolution;
       * "full" — classic full-block rematerialization (max memory savings,
-        pays the full forward again in the backward).
+        pays the full forward again in the backward);
+      * "mixed" — "conv" here; the decoder promotes its FULL-RESOLUTION
+        blocks (encoder0/decoder0, whose saved conv outputs are the bs8 HBM
+        OOM: 21.26G of 15.75G under "conv") to "full" remat while every
+        lower-resolution block keeps the cheap conv-saving policy.
     """
     if mode in (False, None, "none"):
         return cls
     policy = None
-    if mode == "conv":
+    if mode in ("conv", "mixed"):
         policy = jax.checkpoint_policies.save_only_these_names("conv_out")
     elif mode != "full":
         raise ValueError(f"unknown remat mode {mode!r}")

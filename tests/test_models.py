@@ -351,3 +351,32 @@ def test_lrgformer_unetr():
     step = jax.jit(make_train_step(cfg))
     state, m = step(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_mixed_remat_grads_match_none():
+    """remat='mixed' (conv-saving everywhere, full remat for the decoder's
+    full-resolution blocks — the bs8 HBM-OOM fix) is numerically a no-op:
+    gradients match remat='none' exactly."""
+    x_in = make_inputs(tiny_cfg())
+
+    def grads(remat):
+        cfg = tiny_cfg(model="nnFormerUNETR", remat=remat)
+        model = build_model(cfg)
+        variables = jax.jit(lambda r, x: model.init(
+            r, x, deterministic=True))(jax.random.PRNGKey(0), x_in)
+
+        def loss(v):
+            out = model.apply(v, x_in, deterministic=True)
+            return (out.astype(jnp.float32) ** 2).mean()
+
+        return variables, jax.jit(jax.grad(loss))(variables)
+
+    v_ref, g_ref = grads("none")
+    v_mix, g_mix = grads("mixed")
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        v_ref, v_mix)  # same init => same param tree
+    for (k, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(g_ref),
+                              jax.tree_util.tree_leaves_with_path(g_mix)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-6,
+                                   atol=1e-7, err_msg=jax.tree_util.keystr(k))
