@@ -291,6 +291,10 @@ def main():
         if bs8_remat != "full" and "train_bs8_error" in extra:
             # fallback rung: the known-good full-block remat config
             _try_bench("train_bs8_full", cfg.replace(remat="full"), bs=8)
+    if os.environ.get("MEDSEG_BENCH_TRAIN_BS16", "0") == "1":
+        # probe leg (off by default): per-chip bs16 under mixed remat
+        _try_bench("train_bs16", cfg.replace(
+            remat=os.environ.get("MEDSEG_BS16_REMAT", "mixed")), bs=16)
 
     print(json.dumps({
         "metric": "sliding_window_volumes_per_sec_per_chip",
