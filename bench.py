@@ -54,6 +54,20 @@ def _load_cpu_baseline() -> float:
     return float(data["cpu_measured"]["seconds_per_window_fp32"])
 
 
+def _load_model_flops_per_crop() -> float | None:
+    """Analytic fwd+bwd flops per 96³ crop (tools/model_flops.py): ONE
+    constant independent of remat recompute and of which ops ran as Pallas
+    custom calls, so `train_model_mfu` is comparable across every config
+    (VERDICT r3 weakness #1). None if MODEL_FLOPS.json is absent."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "MODEL_FLOPS.json")
+    try:
+        with open(path) as f:
+            return float(json.load(f)["flops_per_crop_fwd_bwd"])
+    except Exception:
+        return None
+
+
 def _measure_roundtrip(n: int = 10) -> float:
     """MINIMUM tunnel round-trip over n trivial jitted readbacks
     (block_until_ready does not block through the axon tunnel). The
@@ -88,7 +102,30 @@ def _timed_min(fn, n_iters: int) -> float:
     return dt
 
 
+# env knobs _train_bench's internal degradation ladder mutates; each leg
+# snapshots and restores them (plus the jit cache) so one leg's fallback
+# cannot silently contaminate the next leg's A/B configuration
+_LADDER_ENV = ("MEDSEG_HSPLIT", "MEDSEG_ABSORB", "MEDSEG_DW27_PALLAS")
+
+
 def _train_bench(cfg, bs: int = 1) -> dict:
+    snap = {k: os.environ.get(k) for k in _LADDER_ENV}
+    try:
+        return _train_bench_inner(cfg, bs)
+    finally:
+        dirty = False
+        for k, v in snap.items():
+            if os.environ.get(k) != v:
+                dirty = True
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+        if dirty:
+            jax.clear_caches()
+
+
+def _train_bench_inner(cfg, bs: int = 1) -> dict:
     """Train-step throughput + MFU on the reference training workload:
     `bs` 96³ crops per chip, DiceCE, AdamW (run_training.py:92-105).
     bs >= 2 runs under the conv-saving remat policy (the config default),
@@ -190,10 +227,20 @@ def _train_bench(cfg, bs: int = 1) -> dict:
         f"train_steps_per_sec{suffix}": round(1.0 / dt, 3),
         f"train_crops_per_sec{suffix}": round(bs / dt, 3),
         f"train_step_ms{suffix}": round(dt * 1e3, 1),
+        f"train_remat{suffix}": cfg.remat,
     }
+    # headline MFU: the analytic per-crop fwd+bwd flop constant
+    # (MODEL_FLOPS.json) — comparable across batch/remat/kernel configs.
+    # The raw cost_analysis number (counts remat recompute, misses Pallas
+    # custom-call flops) is kept as *_raw for continuity with r2/r3 tables.
+    model_flops = _load_model_flops_per_crop()
+    if model_flops is not None:
+        out[f"train_model_mfu{suffix}"] = round(
+            model_flops * bs / dt / (peak_tflops * 1e12), 4)
     if flops is not None:
         out[f"train_flops_per_step{suffix}"] = flops
-        out[f"train_mfu{suffix}"] = round(flops / dt / (peak_tflops * 1e12), 4)
+        out[f"train_mfu_raw{suffix}"] = round(
+            flops / dt / (peak_tflops * 1e12), 4)
     if fallback:
         out[f"train_fallback{suffix}"] = fallback
     return out
@@ -284,23 +331,30 @@ def main():
     if os.environ.get("MEDSEG_BENCH_TRAIN_BS8", "1") == "1":
         # independent of MEDSEG_BENCH_TRAIN so a bs8-only run is possible.
         # bs8 under remat=conv is a genuine HBM OOM (21.26G of 15.75G,
-        # NOTES.md round-3 log); "mixed" keeps conv-saving everywhere but
-        # the full-res decoder blocks (the OOM source), which remat fully.
-        bs8_remat = os.environ.get("MEDSEG_BS8_REMAT", "mixed")
+        # NOTES.md round-3 log); default "full" per the round-3/4 A/B
+        # (full 873.0 ms vs mixed 890.7, tools/ab_r3e.jsonl) with "mixed"
+        # as the fallback rung.
+        bs8_remat = os.environ.get("MEDSEG_BS8_REMAT", "full")
         _try_bench("train_bs8", cfg.replace(remat=bs8_remat), bs=8)
-        if bs8_remat != "full" and "train_bs8_error" in extra:
-            # fallback rung: the known-good full-block remat config
-            _try_bench("train_bs8_full", cfg.replace(remat="full"), bs=8)
-    if os.environ.get("MEDSEG_BENCH_TRAIN_BS16", "0") == "1":
-        # probe leg (off by default): per-chip bs16 under mixed remat
-        _try_bench("train_bs16", cfg.replace(
-            remat=os.environ.get("MEDSEG_BS16_REMAT", "mixed")), bs=16)
+        if bs8_remat != "mixed" and "train_bs8_error" in extra:
+            _try_bench("train_bs8_mixed", cfg.replace(remat="mixed"), bs=8)
+    if os.environ.get("MEDSEG_BENCH_TRAIN_BS16", "1") == "1":
+        # per-chip bs16 (VERDICT r3 item 1): mixed remat primary with a
+        # full-remat fallback rung until the same-window A/B settles it
+        bs16_remat = os.environ.get("MEDSEG_BS16_REMAT", "mixed")
+        _try_bench("train_bs16", cfg.replace(remat=bs16_remat), bs=16)
+        if bs16_remat != "full" and "train_bs16_error" in extra:
+            _try_bench("train_bs16_full", cfg.replace(remat="full"), bs=16)
+
+    def _num(x):
+        # strict-JSON output: NaN (a disabled SW leg) serializes as null
+        return None if x != x else x
 
     print(json.dumps({
         "metric": "sliding_window_volumes_per_sec_per_chip",
-        "value": round(vols_per_sec, 4),
+        "value": _num(round(vols_per_sec, 4)),
         "unit": "volumes/sec",
-        "vs_baseline": round(vols_per_sec / cpu_vols_per_sec, 2),
+        "vs_baseline": _num(round(vols_per_sec / cpu_vols_per_sec, 2)),
         "extra": extra,
     }))
 

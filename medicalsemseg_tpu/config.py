@@ -361,6 +361,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["none", "conv", "full", "mixed"],
                    help="rematerialize model blocks; 'conv' (default) saves "
                         "conv outputs and replays only elementwise chains. "
+                        "'mixed' differs from 'conv' only for UNETR-style "
+                        "decoders (their full-res blocks remat fully); other "
+                        "heads treat it as 'conv'. "
                         "NB: bare --remat used to mean 'full' (round-1 bool "
                         "flag); it now selects 'conv' — pass --remat full "
                         "for the old behavior, --no_remat for none")

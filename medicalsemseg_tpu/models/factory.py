@@ -138,11 +138,12 @@ def build_model(cfg: Config) -> nn.Module:
             depths=tuple(cfg.depths), num_heads=tuple(cfg.num_heads),
             window_sizes=cfg.window_sizes(), qkv_bias=cfg.qkv_bias,
             drop_path_rate=cfg.drop_path_rate, use_pallas=_use_pallas(cfg),
+            pallas_train=cfg.pallas_train,
             ref_quirk_index=cfg.ref_quirk_rel_pos, dtype=dtype)
         return SwinUNETRCustom(
             encoder=encoder, out_channels=cfg.output_dim,
             hidden_size=cfg.hidden_dim, patch_size=cfg.patch_size3(),
-            dtype=dtype)
+            remat=cfg.remat, dtype=dtype)
 
     if name == "FocalNetUNETR":
         from medicalsemseg_tpu.models.focalnet import FocalNet3D
@@ -155,7 +156,7 @@ def build_model(cfg: Config) -> nn.Module:
         return SwinUNETRCustom(
             encoder=encoder, out_channels=cfg.output_dim,
             hidden_size=cfg.hidden_dim, patch_size=cfg.patch_size3(),
-            dtype=dtype)
+            remat=cfg.remat, dtype=dtype)
 
     if name == "nnFormer":
         # the official symmetric nnFormer (vendored-dead in the reference,

@@ -219,12 +219,20 @@ class GCWindowAttention(nn.Module):
                 # one kernel over the (ws-divisible) volume; no shift/mask
                 from medicalsemseg_tpu.ops.pallas.window_attention import (
                     fused_window_attention,
+                    fused_window_attention_ln_trainable,
                     fused_window_attention_trainable)
 
                 bq = bqkv if bqkv is not None else jnp.zeros(
                     (3 * c,), jnp.float32)
-                if ln is not None or residual or pre_bias is not None:
-                    # inference-only absorbed/quirk form (see models/swin.py)
+                if ln is not None and not deterministic:
+                    # absorbed form under training: the custom VJP chains the
+                    # LN backward in-kernel (same as models/swin.py)
+                    return fused_window_attention_ln_trainable(
+                        x_volume.astype(self.dtype), ln[0], ln[1], wqkv, bq,
+                        wproj, bproj, table, ws, nh, 0, 8, False, residual)
+                if deterministic and (ln is not None or residual
+                                      or pre_bias is not None):
+                    # absorbed/quirk form at inference (see models/swin.py)
                     return fused_window_attention(
                         x_volume.astype(self.dtype), wqkv, bq, wproj, bproj,
                         table, ws, nh, 0,
@@ -277,6 +285,7 @@ class GCViTBlock(nn.Module):
     drop_path_rate: float = 0.0
     layer_scale: Optional[float] = None
     use_pallas: bool = False
+    pallas_train: bool = False
     ref_quirk_index: bool = False
     dtype: Dtype = jnp.float32
 
@@ -293,15 +302,31 @@ class GCViTBlock(nn.Module):
             name="attn")
         # the fused kernels cover BOTH the local and the global-query paths
         # at inference (incl. quirk mode — the colliding-stride bias is
-        # pre-gathered and fed via pre_bias); training keeps XLA (this pod's
-        # AOT compiler rejects large backward graphs containing the kernel,
-        # see NOTES.md)
-        fuse = (self.use_pallas and deterministic
+        # pre-gathered and fed via pre_bias). Round-4: the LOCAL path also
+        # trains through the custom-VJP kernels (pallas_train, same gating
+        # as models/swin.py SwinBlock — dropout 0, backward fits scoped
+        # VMEM, standard bias index). The GLOBAL-query kernel has no
+        # backward kernel and keeps the XLA train path (its q comes from
+        # the shared FeatExtract pyramid — dq accumulates across every
+        # window, a different scratch shape than the head-split machinery).
+        if (not deterministic and self.pallas_train and not self.use_global
+                and not self.ref_quirk_index):
+            from medicalsemseg_tpu.ops.pallas.window_attention import (
+                pallas_train_fits)
+            train_fuse = (self.attn_drop == 0.0 and self.drop == 0.0
+                          and pallas_train_fits(c, self.num_heads, ws))
+            train_absorb = (train_fuse and self.layer_scale is None
+                            and pallas_train_fits(c, self.num_heads, ws,
+                                                  ln=True))
+        else:
+            train_fuse = train_absorb = False
+        fuse = (self.use_pallas and (deterministic or train_fuse)
                 and d % ws == 0 and h % ws == 0 and w % ws == 0)
         # with no layer-scale the kernel also absorbs LN1 and the shortcut
         # (see models/swin.py SwinBlock)
         from medicalsemseg_tpu.ops.pallas import absorb_enabled
         absorb = (fuse and self.layer_scale is None
+                  and (deterministic or train_absorb)
                   and x.dtype == self.dtype and absorb_enabled())
 
         if self.layer_scale is not None:
@@ -313,9 +338,17 @@ class GCViTBlock(nn.Module):
             g1 = g2 = 1.0
 
         if absorb:
+            # the in-kernel shortcut add is exact only when DropPath is
+            # inactive (inference, or drop_path_rate == 0 under training)
+            res_in = deterministic or self.drop_path_rate == 0.0
             s1, b1 = ln1(x, params_only=True)
-            x = attn(None, q_global, True, x_volume=x, ln=(s1, b1),
-                     residual=True)
+            out = attn(None, q_global, deterministic, x_volume=x,
+                       ln=(s1, b1), residual=res_in)
+            if res_in:
+                x = out
+            else:
+                x = x + DropPath(self.drop_path_rate)(
+                    out, deterministic=deterministic)
         else:
             shortcut = x
             xn = ln1(x)
@@ -331,17 +364,29 @@ class GCViTBlock(nn.Module):
         mlp = Mlp(hidden_dim=int(c * self.mlp_ratio), dropout=self.drop,
                   dtype=self.dtype, name="mlp")
         ln2 = LayerNorm(dtype=self.dtype, name="norm2")
-        if (self.use_pallas and deterministic and x.dtype == self.dtype
-                and absorb_enabled()):
+        if not deterministic and self.pallas_train:
+            from medicalsemseg_tpu.ops.pallas.mlp import fused_mlp_train_fits
+            mlp_train_fuse = (self.drop == 0.0 and fused_mlp_train_fits(
+                c, int(c * self.mlp_ratio)))
+        else:
+            mlp_train_fuse = False
+        if (self.use_pallas and (deterministic or mlp_train_fuse)
+                and x.dtype == self.dtype and absorb_enabled()):
             s2, b2 = ln2(x, params_only=True)
             if self.layer_scale is None:
-                return mlp(x.reshape(b, -1, c), ln=(s2, b2),
-                           residual=True).reshape(b, d, h, w, c)
+                res_in = deterministic or self.drop_path_rate == 0.0
+                out = mlp(x.reshape(b, -1, c), deterministic=deterministic,
+                          ln=(s2, b2), residual=res_in).reshape(b, d, h, w, c)
+                if res_in:
+                    return out
+                return x + DropPath(self.drop_path_rate)(
+                    out, deterministic=deterministic)
             # layer-scale keeps the scaled add outside; the LN + both
             # projections + GELU still fuse
-            h_out = mlp(x.reshape(b, -1, c),
+            h_out = mlp(x.reshape(b, -1, c), deterministic=deterministic,
                         ln=(s2, b2)).reshape(b, d, h, w, c)
-            return x + g2 * h_out
+            return x + DropPath(self.drop_path_rate)(
+                g2 * h_out, deterministic=deterministic)
         h_out = mlp(ln2(x).reshape(b, -1, c),
                     deterministic=deterministic).reshape(b, d, h, w, c)
         return x + DropPath(self.drop_path_rate)(
@@ -363,6 +408,7 @@ class GCViTLayer(nn.Module):
     drop_path_rates: Tuple[float, ...] = (0.0,)
     layer_scale: Optional[float] = None
     use_pallas: bool = False
+    pallas_train: bool = False
     ref_quirk_index: bool = False
     dtype: Dtype = jnp.float32
 
@@ -397,6 +443,7 @@ class GCViTLayer(nn.Module):
                 attn_drop=self.attn_drop,
                 drop_path_rate=self.drop_path_rates[i],
                 layer_scale=self.layer_scale, use_pallas=self.use_pallas,
+                pallas_train=self.pallas_train,
                 ref_quirk_index=self.ref_quirk_index, dtype=self.dtype,
                 name=f"blocks_{i}")(x, q, deterministic)
         return ReduceSize(dim=self.dim, dtype=self.dtype, name="downsample")(x)
@@ -418,6 +465,7 @@ class GCViT3D(nn.Module):
     drop_path_rate: float = 0.2
     layer_scale: Optional[float] = None
     use_pallas: bool = False
+    pallas_train: bool = False
     ref_quirk_index: bool = False
     dtype: Dtype = jnp.float32
 

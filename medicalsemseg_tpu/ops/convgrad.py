@@ -111,25 +111,70 @@ _WINOGRAD_TRAIN = _os.environ.get("MEDSEG_WINOGRAD_TRAIN", "0") != "0"
 # kernel vs 628.7 ms XLA (+15.6%), but bs1 213.5 vs 180 ms (the XLA taps
 # win below the HBM-bound crossover). Default is therefore size-based
 # ("auto": kernel above _DW27_MAX_VOXELS only); MEDSEG_DW27_PALLAS=1/0
-# forces it on/off everywhere (A/B hook).
-_DW27_PALLAS = _os.environ.get("MEDSEG_DW27_PALLAS", "auto")
+# forces it on/off everywhere (A/B hook). Read DYNAMICALLY (not at import):
+# bench.py's fallback ladder flips the var mid-process and re-traces.
+def _dw27_pallas_mode() -> str:
+    return _os.environ.get("MEDSEG_DW27_PALLAS", "auto")
+
+
+# Batch-chunk bound for the Pallas dW: the kernel's three lane-padded shifted
+# x copies are materialized per call; at bs8 96^3 (7.1M voxels, remat=full)
+# the unchunked copies tipped the flagship step into HBM OOM (16.15G/15.75G
+# measured, round 3). Batches beyond this bound run as a lax.scan over batch
+# chunks whose partial dW accumulate in fp32 — only ONE chunk's copies are
+# live at a time (~2.8G at the 4M bound for C=48), so bs8/bs16 get the
+# measured dW win instead of falling back to XLA's native lowering.
+_DW27_CHUNK_VOXELS = 4_000_000
 
 
 def _dw27_pallas_eligible(x: jnp.ndarray) -> bool:
     import jax as _jax
     from medicalsemseg_tpu.ops.pallas import dw27 as _k
 
-    if _DW27_PALLAS == "0" or _DW27_PALLAS is False:
+    mode = _dw27_pallas_mode()
+    if mode == "0":
         return False
     voxels = int(np.prod(x.shape[:-1]))
-    # upper bound: the kernel's three lane-padded x copies are live per conv
-    # gradient; at bs8 96^3 (7.1M voxels, remat=full) they tip the flagship
-    # step into HBM OOM (16.15G/15.75G measured), while bs4 (3.5M) wins
-    want = (_DW27_PALLAS in ("1", True)
-            or _DW27_MAX_VOXELS < voxels <= 4_000_000)
+    per_sample = int(np.prod(x.shape[1:-1]))
+    want = mode == "1" or voxels > _DW27_MAX_VOXELS
+    # a batch chunk of at least one sample must fit the chunk bound (a
+    # single >4M-voxel sample has no chunkable axis here)
     return (want
+            and per_sample <= _DW27_CHUNK_VOXELS
             and (_jax.default_backend() != "cpu" or _k._FORCE_INTERPRET)
             and _k.dw27_applicable(tuple(x.shape[1:4]), x.shape[-1]))
+
+
+def _dw27_pallas_chunked(x: jnp.ndarray, dy: jnp.ndarray) -> jnp.ndarray:
+    """Pallas dW over batch chunks of <= _DW27_CHUNK_VOXELS voxels.
+
+    lax.scan keeps exactly one chunk's shifted lane-padded copies live per
+    iteration; partials accumulate in the fp32 carry (tap-dot order within a
+    chunk is unchanged, so chunk-boundary summation is the only reassociation
+    vs the unchunked kernel — tested to ~1e-6 rel in tests/test_pallas_dw27).
+    """
+    from medicalsemseg_tpu.ops.pallas.dw27 import dw27_pallas
+
+    b = x.shape[0]
+    per = int(np.prod(x.shape[1:-1]))
+    bc = 1
+    for cand in range(b, 0, -1):
+        if b % cand == 0 and cand * per <= _DW27_CHUNK_VOXELS:
+            bc = cand
+            break
+    if bc == b:
+        return dw27_pallas(x, dy)
+    c, co = x.shape[-1], dy.shape[-1]
+    xr = x.reshape(b // bc, bc, *x.shape[1:])
+    dyr = dy.reshape(b // bc, bc, *dy.shape[1:])
+
+    def body(acc, xd):
+        xc, dyc = xd
+        return acc + dw27_pallas(xc, dyc), None
+
+    out, _ = lax.scan(body, jnp.zeros((3, 3, 3, c, co), jnp.float32),
+                      (xr, dyr))
+    return out
 
 
 def _wino23_eligible(x: jnp.ndarray) -> bool:
@@ -185,9 +230,7 @@ def _dw27(x: jnp.ndarray, dy: jnp.ndarray) -> jnp.ndarray:
     accumulator kernel, when enabled, covers every size (its HBM traffic
     does not scale with the tap count)."""
     if _dw27_pallas_eligible(x):
-        from medicalsemseg_tpu.ops.pallas.dw27 import dw27_pallas
-
-        return dw27_pallas(x, dy)
+        return _dw27_pallas_chunked(x, dy)
     if x.shape[-1] <= 4:
         # stacked im2col dot: the 27 x re-reads behind _DW27_MAX_VOXELS are
         # negligible at skinny C (x is Co/C times smaller than dy)

@@ -48,8 +48,14 @@ class TrainState(struct.PyTreeNode):
 
     def apply_gradients(self, grads):
         updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
-        return self.replace(step=self.step + 1,
-                            params=optax.apply_updates(self.params, updates),
+        if getattr(self.tx, "returns_new_params", False):
+            # fused-apply flat optimizer (train/flat_optim.py): update()
+            # already added the step in its single flat pass — `updates`
+            # IS the new params tree
+            new_params = updates
+        else:
+            new_params = optax.apply_updates(self.params, updates)
+        return self.replace(step=self.step + 1, params=new_params,
                             opt_state=new_opt_state)
 
 
@@ -64,13 +70,17 @@ def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransform
                                    steps_per_epoch)
     if getattr(cfg, "flat_optimizer", False):
         # one fused elementwise pass over flat fp32 buffers (numerics
-        # identical to the optax chain below — train/flat_optim.py)
+        # identical to the optax chain below — train/flat_optim.py).
+        # fused_apply (params updated inside the flat pass) is incompatible
+        # with optax.MultiSteps' update-accumulation, so grad-accum runs
+        # keep the plain returns-updates mode.
         from medicalsemseg_tpu.train.flat_optim import flat_adamw
 
         tx = flat_adamw(schedule, b1=0.9, b2=0.95, eps=1e-6,
                         weight_decay=cfg.weight_decay,
                         mask_fn=weight_decay_mask,
-                        clip_norm=cfg.gradient_clipping)
+                        clip_norm=cfg.gradient_clipping,
+                        fused_apply=getattr(cfg, "grad_accum_steps", 1) <= 1)
     else:
         chain = []
         if cfg.gradient_clipping is not None:
@@ -143,17 +153,25 @@ def make_train_step(cfg: Config):
 
         (loss, (logits, new_stats)), grads = jax.value_and_grad(
             compute_loss, has_aux=True)(state.params)
-        state = state.apply_gradients(grads).replace(batch_stats=new_stats)
+        new_state = state.apply_gradients(grads).replace(
+            batch_stats=new_stats)
 
+        if getattr(state.tx, "returns_new_params", False):
+            # the fused flat pass already reduced the pre-clip global norm
+            # over its raveled buffer — reading it back is free, while
+            # optax.global_norm(grads) would re-read every gradient leaf
+            grad_norm = new_state.opt_state.grad_norm
+        else:
+            grad_norm = optax.global_norm(grads)
         pred = jnp.argmax(logits, axis=-1)
         dice, not_nan = dice_per_class(pred, batch["label"], n_classes)
         metrics = {
             "loss": loss,
             "dice_sum": dice.sum(0),       # (C,) — accumulated host-side
             "dice_count": not_nan.sum(0),  # (C,)
-            "grad_norm": optax.global_norm(grads),
+            "grad_norm": grad_norm,
         }
-        return state, metrics
+        return new_state, metrics
 
     return train_step
 

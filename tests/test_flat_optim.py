@@ -63,8 +63,39 @@ def _compare(clip, wd, lr):
         ref, got)
 
 
+def _run_fused(tx, params, n_steps):
+    state = tx.init(params)
+    for i in range(n_steps):
+        params, state = tx.update(_grads(100 + i), state, params)
+    return params, state
+
+
 def test_flat_adamw_matches_optax_no_clip():
     _compare(clip=None, wd=1e-2, lr=3e-3)
+
+
+def test_flat_adamw_fused_apply_matches_plain():
+    """fused_apply (update returns the new params from the in-pass add, the
+    round-4 rework) must walk the same trajectory as the returns-updates
+    mode — and its flat master copy must stay consistent with the tree."""
+    from jax.flatten_util import ravel_pytree
+
+    params = _tree()
+    kw = dict(b1=0.9, b2=0.95, eps=1e-6, weight_decay=1e-2,
+              mask_fn=weight_decay_mask, clip_norm=1.0)
+    plain = _run(flat_adamw(3e-3, **kw), params, 4)
+    fused, st = _run_fused(flat_adamw(3e-3, fused_apply=True, **kw),
+                           params, 4)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-6, atol=1e-7),
+        plain, fused)
+    np.testing.assert_allclose(np.asarray(st.flat_p),
+                               np.asarray(ravel_pytree(fused)[0]))
+    # pre-clip grad norm carried for the train step's metric
+    gflat, _ = ravel_pytree(_grads(103))
+    np.testing.assert_allclose(float(st.grad_norm),
+                               float(jnp.sqrt((gflat ** 2).sum())), rtol=1e-6)
 
 
 def test_flat_adamw_matches_optax_with_clip():

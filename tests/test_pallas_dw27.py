@@ -64,7 +64,7 @@ def test_dw27_hc_chunking_covers_vmem_bound_shapes(monkeypatch):
 
 
 def test_conv3x3x3_grad_routes_through_kernel_when_gated(monkeypatch):
-    monkeypatch.setattr(convgrad, "_DW27_PALLAS", True)
+    monkeypatch.setenv("MEDSEG_DW27_PALLAS", "1")
     rng = np.random.default_rng(3)
     x = jnp.asarray(rng.normal(size=(2, 4, 8, 8, 16)).astype(np.float32))
     assert convgrad._dw27_pallas_eligible(x)  # the gated path IS exercised
@@ -72,13 +72,50 @@ def test_conv3x3x3_grad_routes_through_kernel_when_gated(monkeypatch):
     dy = jnp.asarray(rng.normal(size=(2, 4, 8, 8, 16)).astype(np.float32))
 
     def loss(w_, gate):
-        monkeypatch.setattr(convgrad, "_DW27_PALLAS", gate)
+        monkeypatch.setenv("MEDSEG_DW27_PALLAS", gate)
         return (convgrad.conv3x3x3_s1(x, w_) * dy).sum()
 
-    gk = jax.grad(lambda w_: loss(w_, True))(w)
-    gx = jax.grad(lambda w_: loss(w_, False))(w)
+    gk = jax.grad(lambda w_: loss(w_, "1"))(w)
+    gx = jax.grad(lambda w_: loss(w_, "0"))(w)
     np.testing.assert_allclose(np.asarray(gk), np.asarray(gx),
                                rtol=2e-5, atol=2e-4)
+
+
+def test_dw27_env_gate_is_dynamic(monkeypatch):
+    """bench.py's fallback ladder flips MEDSEG_DW27_PALLAS mid-process; the
+    eligibility gate must observe the CURRENT value, not an import-time
+    snapshot (round-3's module-level read made that rung a silent no-op)."""
+    x = jnp.ones((2, 4, 8, 8, 16), jnp.float32)
+    monkeypatch.setenv("MEDSEG_DW27_PALLAS", "1")
+    assert convgrad._dw27_pallas_eligible(x)
+    monkeypatch.setenv("MEDSEG_DW27_PALLAS", "0")
+    assert not convgrad._dw27_pallas_eligible(x)
+
+
+def test_dw27_chunked_matches_unchunked(monkeypatch):
+    """Batch chunking (the bs8/bs16 path): partial dW summed over lax.scan
+    chunks must match the single-call kernel up to fp32 reassociation."""
+    rng = np.random.default_rng(4)
+    b, d, h, w, c = 4, 4, 8, 8, 16
+    x = jnp.asarray(rng.normal(size=(b, d, h, w, c)).astype(np.float32))
+    dy = jnp.asarray(rng.normal(size=(b, d, h, w, c)).astype(np.float32))
+    whole = dw27.dw27_pallas(x, dy)
+    # chunk bound of exactly 2 samples -> scan over 2 chunks
+    monkeypatch.setattr(convgrad, "_DW27_CHUNK_VOXELS", 2 * d * h * w)
+    chunked = jax.jit(convgrad._dw27_pallas_chunked)(x, dy)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(whole),
+                               rtol=2e-6, atol=2e-5)
+
+
+def test_dw27_eligibility_spans_large_batches(monkeypatch):
+    """Above the XLA-taps crossover the kernel is now eligible for ANY batch
+    whose single sample fits the chunk bound (round-3 capped at 4M voxels,
+    excluding bs8/bs16 — the highest-throughput configs)."""
+    monkeypatch.setenv("MEDSEG_DW27_PALLAS", "auto")
+    big = jnp.ones((16, 96, 96, 96, 48), jnp.bfloat16)  # 14.2M voxels
+    assert convgrad._dw27_pallas_eligible(big)
+    small = jnp.ones((1, 96, 96, 96, 48), jnp.bfloat16)  # 0.88M: XLA taps win
+    assert not convgrad._dw27_pallas_eligible(small)
 
 
 def test_dw27_applicability_gate():

@@ -25,7 +25,8 @@ import numpy as np
 
 
 def build_and_trace(bs: int, steps: int, outdir: str, remat: str = "conv",
-                    pallas_train: bool = False):
+                    pallas_train: bool = False,
+                    model_name: str = "nnFormerUNETR"):
     import jax
     import jax.numpy as jnp
 
@@ -36,7 +37,7 @@ def build_and_trace(bs: int, steps: int, outdir: str, remat: str = "conv",
     from medicalsemseg_tpu.utils.jitutil import enable_compilation_cache
 
     enable_compilation_cache()
-    cfg = Config(model="nnFormerUNETR", vol_size=96, patch_size=2,
+    cfg = Config(model=model_name, vol_size=96, patch_size=2,
                  hidden_dim=48, depths=(2, 2, 2, 2), num_heads=(3, 6, 12, 24),
                  window_size=6, output_dim=14, compute_dtype="bfloat16",
                  remat=remat, pallas_train=pallas_train)
@@ -149,10 +150,12 @@ def main():
     ap.add_argument("--pallas_train", action="store_true")
     ap.add_argument("--outdir", default="/tmp/jaxtrace_r3")
     ap.add_argument("--parse_only", action="store_true")
+    ap.add_argument("--model", default="nnFormerUNETR",
+                    help="any factory model name (the zoo-declination\n                    profiles of VERDICT r3 item 7 use GCViTUNETR,\n                    SegFormer3D, SwinUNETR_Official)")
     args = ap.parse_args()
     if not args.parse_only:
         build_and_trace(args.bs, args.steps, args.outdir, args.remat,
-                        args.pallas_train)
+                        args.pallas_train, args.model)
     parse_trace(args.outdir, args.steps, args.top)
 
 
