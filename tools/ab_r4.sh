@@ -43,6 +43,10 @@ run bs16_mixed      MEDSEG_BENCH_SW=0 MEDSEG_BENCH_TRAIN=0 MEDSEG_BENCH_TRAIN_BS
 run bs16_full       MEDSEG_BENCH_SW=0 MEDSEG_BENCH_TRAIN=0 MEDSEG_BENCH_TRAIN_BS8=0 MEDSEG_BENCH_TRAIN_BS16=1 MEDSEG_BS16_REMAT=full
 run bs16_mixed_nodw27 MEDSEG_BENCH_SW=0 MEDSEG_BENCH_TRAIN=0 MEDSEG_BENCH_TRAIN_BS8=0 MEDSEG_BENCH_TRAIN_BS16=1 MEDSEG_BS16_REMAT=mixed MEDSEG_DW27_PALLAS=0
 run bs4_dw27_chunk  MEDSEG_BENCH_SW=0 MEDSEG_BENCH_TRAIN=1 MEDSEG_BENCH_TRAIN_BS4=1 MEDSEG_BENCH_TRAIN_BS8=0 MEDSEG_BENCH_TRAIN_BS16=0
+# VERDICT r3 item 8: flat-buffer AdamW in its new fused_apply form, vs the
+# same-window anchor_bs1 legs (per-leaf optax) and at the bs8 operating point.
+run bs1_flatopt     MEDSEG_BENCH_SW=0 MEDSEG_BENCH_TRAIN=1 MEDSEG_BENCH_TRAIN_BS4=0 MEDSEG_BENCH_TRAIN_BS8=0 MEDSEG_BENCH_TRAIN_BS16=0 MEDSEG_FLAT_OPT=1
+run bs8_flatopt     MEDSEG_BENCH_SW=0 MEDSEG_BENCH_TRAIN=0 MEDSEG_BENCH_TRAIN_BS8=1 MEDSEG_BS8_REMAT=full MEDSEG_BENCH_TRAIN_BS16=0 MEDSEG_FLAT_OPT=1
 run anchor_bs1_post MEDSEG_BENCH_SW=0 MEDSEG_BENCH_TRAIN=1 MEDSEG_BENCH_TRAIN_BS4=0 MEDSEG_BENCH_TRAIN_BS8=0 MEDSEG_BENCH_TRAIN_BS16=0
 run anchor_sw_post  MEDSEG_BENCH_SW=1 $TRAIN_OFF
 echo done >&2
