@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -108,6 +109,19 @@ def _timed_min(fn, n_iters: int) -> float:
 _LADDER_ENV = ("MEDSEG_HSPLIT", "MEDSEG_ABSORB", "MEDSEG_DW27_PALLAS")
 
 
+def _log_rung_failure(rung: str) -> None:
+    """Record WHY a degradation rung failed (stderr → the A/B leg log).
+    Only the exception's first+last lines: TPU OOMs carry multi-KB HLO
+    dumps, and the byte counts we need are in the first line."""
+    import traceback
+    lines = traceback.format_exc().strip().splitlines()
+    msg = lines[-1] if lines else "?"
+    head = msg[:400]
+    tail = msg[-200:] if len(msg) > 600 else ""
+    print(f"[bench] rung '{rung}' failed: {head}"
+          + (f" ... {tail}" if tail else ""), file=sys.stderr, flush=True)
+
+
 def _train_bench(cfg, bs: int = 1) -> dict:
     snap = {k: os.environ.get(k) for k in _LADDER_ENV}
     try:
@@ -168,7 +182,7 @@ def _train_bench_inner(cfg, bs: int = 1) -> dict:
         _ = float(m["loss"])
         ok = True
     except Exception:
-        pass
+        _log_rung_failure("primary")
     if not ok:
         os.environ["MEDSEG_HSPLIT"] = "0"
         jax.clear_caches()  # the failed jaxpr is cached on the fn identity
@@ -178,7 +192,7 @@ def _train_bench_inner(cfg, bs: int = 1) -> dict:
             _ = float(m["loss"])
             fallback, ok = "no_hsplit", True
         except Exception:
-            pass
+            _log_rung_failure("no_hsplit")
     if not ok:
         os.environ["MEDSEG_ABSORB"] = "0"
         jax.clear_caches()
@@ -188,7 +202,7 @@ def _train_bench_inner(cfg, bs: int = 1) -> dict:
             _ = float(m["loss"])
             fallback, ok = "no_absorb", True
         except Exception:
-            pass
+            _log_rung_failure("no_absorb")
     if not ok:
         # the auto-selected Pallas dW (ops/convgrad.py) triples the
         # per-conv x reads; at bs8 + remat=full that can tip HBM over
@@ -200,7 +214,7 @@ def _train_bench_inner(cfg, bs: int = 1) -> dict:
             _ = float(m["loss"])
             fallback, ok = "no_dw27", True
         except Exception:
-            pass
+            _log_rung_failure("no_dw27")
     if not ok:
         cfg = cfg.replace(pallas_train=False)
         jax.clear_caches()
@@ -259,7 +273,8 @@ def main():
                  hidden_dim=48, depths=(2, 2, 2, 2), num_heads=(3, 6, 12, 24),
                  window_size=6, output_dim=14, compute_dtype="bfloat16",
                  use_pallas_attention=use_pallas,
-                 flat_optimizer=os.environ.get("MEDSEG_FLAT_OPT", "0") == "1")
+                 flat_optimizer=os.environ.get("MEDSEG_FLAT_OPT", "0") == "1",
+                 fused_loss=os.environ.get("MEDSEG_FUSED_LOSS", "0") == "1")
     model = build_model(cfg)
 
     rng = np.random.default_rng(0)

@@ -101,7 +101,8 @@ def eval_model(state, model, loader, cfg: Config, mesh=None):
                            os.path.join(d, name))
 
     for vols, affs, samples, origs in grouped_padded_volumes(
-            loader, n_group, cfg.sw_bucket_multiple, air_cval):
+            loader, n_group, cfg.sw_bucket_multiple, air_cval,
+            policy=getattr(cfg, "val_group_policy", "bucket")):
         logits_all = sw_run(variables, jnp.asarray(vols), jnp.asarray(affs),
                             roi=cfg.vol_size3(), sw_batch=cfg.batch_size_val,
                             overlap=cfg.val_infer_overlap, mode="gaussian",

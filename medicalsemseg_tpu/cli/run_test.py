@@ -91,7 +91,8 @@ def test_model(state, model, loader, cfg: Config, mesh=None):
               f"shape {pred.shape}")
 
     for vols, affs, samples, origs in grouped_padded_volumes(
-            loader, n_group, cfg.sw_bucket_multiple, air_cval):
+            loader, n_group, cfg.sw_bucket_multiple, air_cval,
+            policy=getattr(cfg, "val_group_policy", "bucket")):
         t0 = time.time()
         logits_all = sw_run(variables, jnp.asarray(vols), jnp.asarray(affs),
                             roi=cfg.vol_size3(), sw_batch=cfg.batch_size_val,

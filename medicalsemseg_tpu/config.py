@@ -174,6 +174,13 @@ class Config:
     tta_mirror: bool = False  # nn-UNet-style 8-way flip TTA at inference
     sw_bucket_multiple: int = 32  # pad eval volumes to spatial multiples to
     # bound sliding-window recompilations (static shapes, SURVEY.md §7.4)
+    val_group_policy: str = "bucket"  # multi-chip volume-DP grouping:
+    # "bucket" (default) groups only identical bucket shapes — logits
+    # bit-identical to single-device, but 85-88% idle slots on a realistic
+    # 6-volume CV fold at 8 chips; "sorted_max" sorts by size and pads each
+    # group of n_devices volumes to its max bucket — full groups, simulated
+    # 2.4-4.4x fold wall-clock win, logits MONAI-equivalent but not
+    # bit-identical (tools/bucket_policy_sim.py)
     grad_accum_steps: int = 1  # micro-batch accumulation (optax.MultiSteps);
     # the reference steps every iteration (SURVEY.md §2.4)
     pallas_train: bool = True  # fused attention in TRAINING via the custom
@@ -384,6 +391,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "fused pass (train/flat_optim.py)")
     _add_bool_flag(g, "fused_loss", False)
     _add_bool_flag(g, "ref_quirk_rel_pos", False)
+    g.add_argument("--val_group_policy", default="bucket",
+                   choices=["bucket", "sorted_max"],
+                   help="multi-chip volume-DP grouping: 'bucket' (default, "
+                        "bit-identical logits) or 'sorted_max' (full groups "
+                        "on shape-diverse folds; MONAI-equivalent logits)")
 
     return p
 

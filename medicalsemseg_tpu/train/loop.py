@@ -225,8 +225,9 @@ def run_validation(state, model, loader, cfg: Config, epoch: int,
                      overlap=cfg.val_infer_overlap, mode="gaussian",
                      cval=cval, n_classes=n_cls)
     if n_group > 1:
-        groups = grouped_padded_volumes(loader, n_group,
-                                        cfg.sw_bucket_multiple, cval)
+        groups = grouped_padded_volumes(
+            loader, n_group, cfg.sw_bucket_multiple, cval,
+            policy=getattr(cfg, "val_group_policy", "bucket"))
         total = math.ceil(len(loader) / n_group)
         for vols, affs, samples, origs in logger.log_every(
                 groups, 5, f"Val: [{epoch}]", total=total):

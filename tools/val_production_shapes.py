@@ -91,6 +91,12 @@ def main():
 
     enable_compilation_cache()
     if SMOKE:
+        # JAX_PLATFORMS=cpu alone does not stick on this machine (the axon
+        # plugin overrides it at import) — pin explicitly so a smoke run can
+        # never contend with a TPU benchmark in flight
+        from medicalsemseg_tpu.utils.jitutil import force_cpu
+        force_cpu()
+    if SMOKE:
         cfg = Config(model="nnFormerUNETR", vol_size=32, patch_size=2,
                      hidden_dim=12, depths=(1, 1), num_heads=(2, 2),
                      window_size=2, output_dim=3, compute_dtype="float32",
