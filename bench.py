@@ -111,13 +111,12 @@ _LADDER_ENV = ("MEDSEG_HSPLIT", "MEDSEG_ABSORB", "MEDSEG_DW27_PALLAS")
 
 def _log_rung_failure(rung: str) -> None:
     """Record WHY a degradation rung failed (stderr → the A/B leg log).
-    Only the exception's first+last lines: TPU OOMs carry multi-KB HLO
-    dumps, and the byte counts we need are in the first line."""
-    import traceback
-    lines = traceback.format_exc().strip().splitlines()
-    msg = lines[-1] if lines else "?"
-    head = msg[:400]
-    tail = msg[-200:] if len(msg) > 600 else ""
+    Only the exception's head+tail: TPU OOMs carry multi-KB HLO dumps, and
+    the byte counts we need are in the first line of the message."""
+    e = sys.exc_info()[1]
+    msg = f"{type(e).__name__}: {e}" if e is not None else "?"
+    head = msg[:600]
+    tail = msg[-300:] if len(msg) > 900 else ""
     print(f"[bench] rung '{rung}' failed: {head}"
           + (f" ... {tail}" if tail else ""), file=sys.stderr, flush=True)
 

@@ -83,13 +83,25 @@ def hausdorff95(pred: np.ndarray, target: np.ndarray,
         if len(ps) == 0 or len(ts) == 0:
             out[ci] = np.nan if len(ps) == len(ts) else np.inf
             continue
-        t_surf = np.zeros_like(tm)
-        t_surf[tuple(ts.T)] = True
-        p_surf = np.zeros_like(pm)
-        p_surf[tuple(ps.T)] = True
+        # crop to the union bounding box of both surfaces: the EDT distance
+        # to a point set depends only on the set, and every query point (the
+        # other surface) lies inside the box, so the cropped transform is
+        # EXACTLY the full-volume one — while the EDT cost drops from the
+        # whole CT grid to the organ extent (measured 49.4 s -> ~1 s per
+        # volume at 226x226x139 / 14 classes on this 1-core host; HD95 is
+        # host-side like the reference's offline MONAI use)
+        both = np.concatenate([ps, ts], axis=0)
+        lo = both.min(axis=0)
+        hi = both.max(axis=0) + 1
+        ps_c = ps - lo
+        ts_c = ts - lo
+        t_surf = np.zeros(tuple(hi - lo), bool)
+        t_surf[tuple(ts_c.T)] = True
+        p_surf = np.zeros_like(t_surf)
+        p_surf[tuple(ps_c.T)] = True
         d_to_t = distance_transform_edt(~t_surf)
         d_to_p = distance_transform_edt(~p_surf)
-        d_pt = d_to_t[tuple(ps.T)]
-        d_tp = d_to_p[tuple(ts.T)]
+        d_pt = d_to_t[tuple(ps_c.T)]
+        d_tp = d_to_p[tuple(ts_c.T)]
         out[ci] = max(np.percentile(d_pt, 95), np.percentile(d_tp, 95))
     return out

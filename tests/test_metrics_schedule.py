@@ -49,6 +49,32 @@ def test_hausdorff95_shifted_cube():
     assert 1.0 <= hd[0] <= 3.0
 
 
+def test_hausdorff95_bbox_crop_matches_bruteforce():
+    """The bbox-cropped EDT (the 9x host speedup) is exactly the full-volume
+    nearest-surface distance: check against a brute-force O(n^2) pairwise
+    computation on random multi-class blobs that sit far from each other
+    (distances exceed each class's own extent, exercising the union box)."""
+    rng = np.random.default_rng(42)
+    a = np.zeros((24, 20, 28), np.int32)
+    b = np.zeros((24, 20, 28), np.int32)
+    for lab, arr in ((1, a), (1, b), (2, a), (2, b)):
+        z, y, x = rng.integers(2, 14), rng.integers(2, 12), rng.integers(2, 18)
+        arr[z:z + rng.integers(3, 8), y:y + rng.integers(3, 7),
+            x:x + rng.integers(3, 9)] = lab
+    hd = hausdorff95(a, b, 3)
+
+    from scipy.ndimage import binary_erosion
+
+    def surf(m):
+        return np.argwhere(m & ~binary_erosion(m, border_value=0))
+
+    for ci, c in enumerate((1, 2)):
+        ps, ts = surf(a == c), surf(b == c)
+        d = np.sqrt(((ps[:, None, :] - ts[None, :, :]) ** 2).sum(-1))
+        want = max(np.percentile(d.min(1), 95), np.percentile(d.min(0), 95))
+        np.testing.assert_allclose(hd[ci], want, rtol=1e-12)
+
+
 def test_warmup_cosine_schedule_endpoints():
     base, warm, total = 4e-4, 40, 200
     # epoch 0 -> warmup_start (0)
