@@ -171,49 +171,48 @@ def _train_bench_inner(cfg, bs: int = 1) -> dict:
         pass
 
     # warm/compile, with graceful degradation if a kernel set the compiler
-    # rejects on this hardware: first drop the head-split stage-4 backward
-    # (MEDSEG_HSPLIT=0), then the round-3 absorption paths (MEDSEG_ABSORB=0,
-    # re-trace), then pallas_train entirely
+    # rejects on this hardware. Rungs are INDEPENDENT single-knob disables
+    # applied to the leg's baseline env (NOT cumulative — round 4's bs8
+    # matrix showed the cumulative ladder landing in an all-kernels-off
+    # config 31 ms slower than the single culprit knob would give), ordered
+    # most-likely-culprit first: at bs >= 8 the Pallas dW's lane-padded
+    # shifted copies are the known HBM-OOM trigger, at bs1 the head-split
+    # stage-4 backward is the historical compile-reject. A final all-off
+    # rung catches multi-knob failures; pallas_train off is the last resort.
+    snap0 = {k: os.environ.get(k) for k in _LADDER_ENV}
+
+    def _apply(over: dict) -> None:
+        for k, v in snap0.items():
+            if k in over:
+                os.environ[k] = over[k]
+            elif v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+    single = [("no_dw27", {"MEDSEG_DW27_PALLAS": "0"}),
+              ("no_hsplit", {"MEDSEG_HSPLIT": "0"}),
+              ("no_absorb", {"MEDSEG_ABSORB": "0"})]
+    if bs < 8:
+        single = single[1:] + single[:1]
+    rungs = [(None, {})] + single + [
+        ("no_kernel_extras", {"MEDSEG_DW27_PALLAS": "0", "MEDSEG_HSPLIT": "0",
+                              "MEDSEG_ABSORB": "0"})]
+
     fallback = None
     ok = False
-    try:
-        state, m = step(state, batch, jax.random.PRNGKey(2))
-        _ = float(m["loss"])
-        ok = True
-    except Exception:
-        _log_rung_failure("primary")
-    if not ok:
-        os.environ["MEDSEG_HSPLIT"] = "0"
-        jax.clear_caches()  # the failed jaxpr is cached on the fn identity
-        step = jax.jit(make_train_step(cfg), donate_argnums=(0,))
+    for name, over in rungs:
+        if name is not None:
+            _apply(over)
+            jax.clear_caches()  # the failed jaxpr is cached on fn identity
+            step = jax.jit(make_train_step(cfg), donate_argnums=(0,))
         try:
             state, m = step(state, batch, jax.random.PRNGKey(2))
             _ = float(m["loss"])
-            fallback, ok = "no_hsplit", True
+            fallback, ok = name, True
+            break
         except Exception:
-            _log_rung_failure("no_hsplit")
-    if not ok:
-        os.environ["MEDSEG_ABSORB"] = "0"
-        jax.clear_caches()
-        step = jax.jit(make_train_step(cfg), donate_argnums=(0,))
-        try:
-            state, m = step(state, batch, jax.random.PRNGKey(2))
-            _ = float(m["loss"])
-            fallback, ok = "no_absorb", True
-        except Exception:
-            _log_rung_failure("no_absorb")
-    if not ok:
-        # the auto-selected Pallas dW (ops/convgrad.py) triples the
-        # per-conv x reads; at bs8 + remat=full that can tip HBM over
-        os.environ["MEDSEG_DW27_PALLAS"] = "0"
-        jax.clear_caches()
-        step = jax.jit(make_train_step(cfg), donate_argnums=(0,))
-        try:
-            state, m = step(state, batch, jax.random.PRNGKey(2))
-            _ = float(m["loss"])
-            fallback, ok = "no_dw27", True
-        except Exception:
-            _log_rung_failure("no_dw27")
+            _log_rung_failure(name or "primary")
     if not ok:
         cfg = cfg.replace(pallas_train=False)
         jax.clear_caches()
