@@ -358,6 +358,29 @@ def main():
         _try_bench("train_bs16", cfg.replace(remat=bs16_remat), bs=16)
         if bs16_remat != "full" and "train_bs16_error" in extra:
             _try_bench("train_bs16_full", cfg.replace(remat="full"), bs=16)
+        if "train_steps_per_sec_bs16" not in extra:
+            # direct per-chip bs16 does not fit this chip's HBM in any remat
+            # mode (round-4 matrix: every rung of mixed AND full failed) —
+            # effective batch 16 runs as 2 accumulated bs8 micro-steps
+            # (optax.MultiSteps, --grad_accum_steps), like the reference's
+            # multi-GPU global batch. Report per-micro-step timing under
+            # explicit *_bs16accum keys.
+            try:
+                acc = _train_bench(cfg.replace(
+                    remat=os.environ.get("MEDSEG_BS8_REMAT", "full"),
+                    grad_accum_steps=2), bs=8)
+                extra.update({
+                    "train_micro_step_ms_bs16accum":
+                        acc.get("train_step_ms_bs8"),
+                    "train_crops_per_sec_bs16accum":
+                        acc.get("train_crops_per_sec_bs8"),
+                    "train_model_mfu_bs16accum":
+                        acc.get("train_model_mfu_bs8"),
+                    "train_remat_bs16accum": acc.get("train_remat_bs8"),
+                    "train_accum_micro_bs": 8,
+                })
+            except Exception as e:
+                extra["train_bs16accum_error"] = type(e).__name__
 
     def _num(x):
         # strict-JSON output: NaN (a disabled SW leg) serializes as null
