@@ -115,10 +115,16 @@ def _log_rung_failure(rung: str) -> None:
     the byte counts we need are in the first line of the message."""
     e = sys.exc_info()[1]
     msg = f"{type(e).__name__}: {e}" if e is not None else "?"
-    head = msg[:600]
-    tail = msg[-300:] if len(msg) > 900 else ""
+    # surface the OOM summary line wherever it sits in the HLO dump
+    oom = [ln for ln in msg.splitlines()
+           if "out of memory" in ln.lower() or "hbm capacity" in ln.lower()
+           or "Used " in ln]
+    head = msg[:2000]
+    tail = msg[-1000:] if len(msg) > 3000 else ""
     print(f"[bench] rung '{rung}' failed: {head}"
-          + (f" ... {tail}" if tail else ""), file=sys.stderr, flush=True)
+          + (f" ... {tail}" if tail else "")
+          + ("".join(f"\n[bench]   OOM: {ln.strip()}" for ln in oom[:4])),
+          file=sys.stderr, flush=True)
 
 
 def _train_bench(cfg, bs: int = 1) -> dict:
