@@ -127,6 +127,13 @@ def _dw27_pallas_mode() -> str:
 _DW27_CHUNK_VOXELS = 4_000_000
 
 
+def _dw27_chunk_voxels() -> int:
+    """Env-tunable (MEDSEG_DW27_CHUNK) for hardware sweeps: smaller chunks
+    shrink the per-call lane-padded shifted-copy footprint (~0.7 GB per
+    1M voxels at C=48) at the cost of more scan iterations."""
+    return int(_os.environ.get("MEDSEG_DW27_CHUNK", _DW27_CHUNK_VOXELS))
+
+
 def _dw27_pallas_eligible(x: jnp.ndarray) -> bool:
     import jax as _jax
     from medicalsemseg_tpu.ops.pallas import dw27 as _k
@@ -140,7 +147,7 @@ def _dw27_pallas_eligible(x: jnp.ndarray) -> bool:
     # a batch chunk of at least one sample must fit the chunk bound (a
     # single >4M-voxel sample has no chunkable axis here)
     return (want
-            and per_sample <= _DW27_CHUNK_VOXELS
+            and per_sample <= _dw27_chunk_voxels()
             and (_jax.default_backend() != "cpu" or _k._FORCE_INTERPRET)
             and _k.dw27_applicable(tuple(x.shape[1:4]), x.shape[-1]))
 
@@ -158,8 +165,9 @@ def _dw27_pallas_chunked(x: jnp.ndarray, dy: jnp.ndarray) -> jnp.ndarray:
     b = x.shape[0]
     per = int(np.prod(x.shape[1:-1]))
     bc = 1
+    bound = _dw27_chunk_voxels()
     for cand in range(b, 0, -1):
-        if b % cand == 0 and cand * per <= _DW27_CHUNK_VOXELS:
+        if b % cand == 0 and cand * per <= bound:
             bc = cand
             break
     if bc == b:
