@@ -40,10 +40,13 @@ run convprobe python tools/probe_conv_layout.py
 run profile_bs8 python tools/train_profile.py --bs 8 --remat full \
   --steps 3 --top 60 > tools/ledger_r4_train_bs8.txt
 
-# 6. one focused bs8 leg with dw27 FORCED ON under the new failure logging:
-#    the OOM/reject text (exact HBM bytes) is the VERDICT item-3 evidence
-run bs8_dw27_forced env MEDSEG_BENCH_SW=0 MEDSEG_BENCH_TRAIN=0 \
-  MEDSEG_BENCH_TRAIN_BS8=1 MEDSEG_BS8_REMAT=full MEDSEG_DW27_PALLAS=1 \
-  MEDSEG_BENCH_TRAIN_BS16=0 MEDSEG_REQUIRE_TPU=1 \
-  python bench.py
+# 6. focused bs8 legs with dw27 FORCED ON under the new failure logging:
+#    the OOM/reject text (exact HBM bytes) is the VERDICT item-3 evidence;
+#    the chunk sweep tests whether a smaller per-call footprint fits
+for CH in 4000000 2000000 1000000; do
+  run "bs8_dw27_chunk$CH" env MEDSEG_BENCH_SW=0 MEDSEG_BENCH_TRAIN=0 \
+    MEDSEG_BENCH_TRAIN_BS8=1 MEDSEG_BS8_REMAT=full MEDSEG_DW27_PALLAS=1 \
+    MEDSEG_DW27_CHUNK=$CH MEDSEG_BENCH_TRAIN_BS16=0 MEDSEG_REQUIRE_TPU=1 \
+    python bench.py
+done
 echo "=== r4 queue complete $(date)"
