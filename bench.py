@@ -358,12 +358,19 @@ def main():
         if bs8_remat != "mixed" and "train_bs8_error" in extra:
             _try_bench("train_bs8_mixed", cfg.replace(remat="mixed"), bs=8)
     if os.environ.get("MEDSEG_BENCH_TRAIN_BS16", "1") == "1":
-        # per-chip bs16 (VERDICT r3 item 1): mixed remat primary with a
-        # full-remat fallback rung until the same-window A/B settles it
-        bs16_remat = os.environ.get("MEDSEG_BS16_REMAT", "mixed")
-        _try_bench("train_bs16", cfg.replace(remat=bs16_remat), bs=16)
-        if bs16_remat != "full" and "train_bs16_error" in extra:
-            _try_bench("train_bs16_full", cfg.replace(remat="full"), bs=16)
+        # Direct per-chip bs16 is a structural HBM OOM on this 15.75G chip
+        # (round-4 matrix: every fallback rung failed in BOTH remat modes,
+        # tools/ab_logs/bs16_*.log; byte math in
+        # tools/ledger_r4_train_ceilings.md). Attempting it costs ~45 min of
+        # doomed fallback compiles, so the default goes straight to the
+        # accumulated form; MEDSEG_BS16_DIRECT=1 re-enables the attempt
+        # (e.g. on a larger-HBM part).
+        if os.environ.get("MEDSEG_BS16_DIRECT", "0") == "1":
+            bs16_remat = os.environ.get("MEDSEG_BS16_REMAT", "mixed")
+            _try_bench("train_bs16", cfg.replace(remat=bs16_remat), bs=16)
+            if bs16_remat != "full" and "train_bs16_error" in extra:
+                _try_bench("train_bs16_full", cfg.replace(remat="full"),
+                           bs=16)
         if "train_steps_per_sec_bs16" not in extra:
             # direct per-chip bs16 does not fit this chip's HBM in any remat
             # mode (round-4 matrix: every rung of mixed AND full failed) —
