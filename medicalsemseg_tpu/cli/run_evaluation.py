@@ -79,7 +79,8 @@ def eval_model(state, model, loader, cfg: Config, mesh=None):
         pred = np.asarray(pred_dev)[:orig[0], :orig[1], :orig[2]]
         dice = np.asarray(dice_dev)
         nn = np.asarray(nn_dev)
-        hd = hausdorff95(pred, gt, n_cls, include_background=False)
+        hd = hausdorff95(pred, gt, n_cls, include_background=False,
+                         device=getattr(cfg, "device_hd95", False))
         all_dice.append(dice)
         all_nn.append(nn)
         all_hd.append(hd)

@@ -202,6 +202,10 @@ class Config:
     # numerics identical to the optax chain — tests/test_flat_optim.py).
     # Off until the A/B on real hardware lands (opt_state layout differs,
     # so resume across a flag flip is unsupported)
+    device_hd95: bool = False  # opt-in: HD95 directed distances as chunked
+    # pairwise-NN matmuls on the accelerator (bit-identical to the host EDT
+    # formulation — integer-exact fp32; train/metrics._nn_min_dists_device)
+    # instead of per-class scipy EDTs on the 1-core host
     fused_loss: bool = False  # opt-in fused Pallas DiceCE
     # (ops/pallas/dice_ce.py): 3.3x faster than the XLA loss standalone
     # (6.0 vs 20.0 ms fwd+bwd at 96^3x14) but NEUTRAL-to-negative inside the
@@ -390,6 +394,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="flat-buffer AdamW: the whole optimizer as one "
                         "fused pass (train/flat_optim.py)")
     _add_bool_flag(g, "fused_loss", False)
+    _add_bool_flag(g, "device_hd95", False,
+                   help="compute HD95 surface distances on the accelerator "
+                        "(bit-identical to the host EDT path)")
     _add_bool_flag(g, "ref_quirk_rel_pos", False)
     g.add_argument("--val_group_policy", default="bucket",
                    choices=["bucket", "sorted_max"],

@@ -64,12 +64,69 @@ def _surface_points(mask: np.ndarray) -> np.ndarray:
     return np.argwhere(mask & ~eroded)
 
 
+def _bucket(n: int, lo: int = 2048) -> int:
+    """Static point-count buckets so the device NN kernel compiles O(log)
+    distinct shapes per run."""
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+def _nn_min_dists_device(ps: np.ndarray, ts: np.ndarray) -> np.ndarray:
+    """Exact nearest-neighbour Euclidean distance from each point in ``ps``
+    to the set ``ts``, computed on the accelerator.
+
+    d2[i, j] = |p_i|^2 + |t_j|^2 - 2 p_i . t_j is a (P, 3) @ (3, T) matmul
+    shape — MXU work instead of the host EDT. Voxel coordinates are < 2^10,
+    so every intermediate is an integer < 2^24: fp32 arithmetic is EXACT and
+    the result equals the scipy distance-transform formulation bit-for-bit
+    (tested). Query points are processed in 512-row chunks (lax.map) so the
+    (chunk, T) slab never exceeds ~128 MB at the largest bucket.
+    """
+    import functools
+
+    @functools.lru_cache(maxsize=32)
+    def compiled(p_pad: int, t_pad: int):
+        def run(p, t, t2):
+            def one_chunk(pc):
+                # HIGHEST precision: the TPU fp32 matmul then reproduces the
+                # exact integer products (coords < 2^10 => d2 < 2^24)
+                d2 = ((pc * pc).sum(-1)[:, None] + t2[None, :]
+                      - 2.0 * jnp.dot(pc, t.T,
+                                      precision=jax.lax.Precision.HIGHEST))
+                return d2.min(1)
+            return jax.lax.map(one_chunk,
+                               p.reshape(p_pad // 512, 512, 3)).reshape(-1)
+        return jax.jit(run)
+
+    n_p, n_t = len(ps), len(ts)
+    p_pad, t_pad = _bucket(max(n_p, 512), 512), _bucket(n_t)
+    p = np.zeros((p_pad, 3), np.float32)
+    p[:n_p] = ps
+    t = np.zeros((t_pad, 3), np.float32)
+    t[:n_t] = ts
+    # padded target slots: +inf squared-norm keeps them out of every min
+    t2 = (t * t).sum(-1)
+    t2[n_t:] = np.inf
+    d2 = np.asarray(compiled(p_pad, t_pad)(jnp.asarray(p), jnp.asarray(t),
+                                           jnp.asarray(t2)))[:n_p]
+    # d2 is an exact integer in fp32; sqrt in fp64 on the host so the result
+    # is bit-identical to the scipy EDT formulation
+    return np.sqrt(d2.astype(np.float64))
+
+
 def hausdorff95(pred: np.ndarray, target: np.ndarray,
-                n_classes: int, include_background: bool = False) -> np.ndarray:
+                n_classes: int, include_background: bool = False,
+                device: bool = False) -> np.ndarray:
     """(D, H, W) int arrays -> per-class HD95 (NaN for absent classes).
 
     Directed distances computed via the Euclidean distance transform of each
-    surface (equivalent to MONAI's percentile Hausdorff).
+    surface (equivalent to MONAI's percentile Hausdorff), cropped to the
+    union surface bounding box (exactly equivalent, ~9x cheaper on this
+    host). With ``device=True`` the distances run as chunked pairwise-NN
+    matmuls on the accelerator instead (bit-identical — integer-exact fp32;
+    see _nn_min_dists_device), leaving only surface extraction on the host.
     """
     from scipy.ndimage import distance_transform_edt
 
@@ -82,6 +139,11 @@ def hausdorff95(pred: np.ndarray, target: np.ndarray,
         ts = _surface_points(tm)
         if len(ps) == 0 or len(ts) == 0:
             out[ci] = np.nan if len(ps) == len(ts) else np.inf
+            continue
+        if device:
+            d_pt = _nn_min_dists_device(ps, ts)
+            d_tp = _nn_min_dists_device(ts, ps)
+            out[ci] = max(np.percentile(d_pt, 95), np.percentile(d_tp, 95))
             continue
         # crop to the union bounding box of both surfaces: the EDT distance
         # to a point set depends only on the set, and every query point (the

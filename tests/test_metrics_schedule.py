@@ -75,6 +75,28 @@ def test_hausdorff95_bbox_crop_matches_bruteforce():
         np.testing.assert_allclose(hd[ci], want, rtol=1e-12)
 
 
+def test_hausdorff95_device_path_bit_identical():
+    """The accelerator pairwise-NN path (--device_hd95) must equal the host
+    EDT path bit-for-bit: voxel coords < 2^10 keep every fp32 intermediate
+    an exact integer, and the final sqrt runs in fp64 on the host."""
+    rng = np.random.default_rng(7)
+    a = np.zeros((40, 36, 30), np.int32)
+    b = np.zeros((40, 36, 30), np.int32)
+    for lab in (1, 2):
+        for arr in (a, b):
+            z, y, x = (rng.integers(2, 24), rng.integers(2, 20),
+                       rng.integers(2, 16))
+            arr[z:z + rng.integers(4, 10), y:y + rng.integers(4, 9),
+                x:x + rng.integers(4, 8)] = lab
+    host = hausdorff95(a, b, 3)
+    dev = hausdorff95(a, b, 3, device=True)
+    np.testing.assert_array_equal(host, dev)
+    # absent-class semantics preserved on the device path too
+    c = np.zeros_like(a)
+    np.testing.assert_array_equal(hausdorff95(a, c, 3, device=True),
+                                  [np.inf, np.inf])
+
+
 def test_warmup_cosine_schedule_endpoints():
     base, warm, total = 4e-4, 40, 200
     # epoch 0 -> warmup_start (0)
