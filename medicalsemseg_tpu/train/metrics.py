@@ -73,6 +73,25 @@ def _bucket(n: int, lo: int = 2048) -> int:
     return b
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _nn_compiled(p_pad: int, t_pad: int):
+    """Module-level cache: one traced/compiled program per shape bucket."""
+    def run(p, t, t2):
+        def one_chunk(pc):
+            # HIGHEST precision: the TPU fp32 matmul then reproduces the
+            # exact integer products (coords < 2^10 => d2 < 2^24)
+            d2 = ((pc * pc).sum(-1)[:, None] + t2[None, :]
+                  - 2.0 * jnp.dot(pc, t.T,
+                                  precision=jax.lax.Precision.HIGHEST))
+            return d2.min(1)
+        return jax.lax.map(one_chunk,
+                           p.reshape(p_pad // 512, 512, 3)).reshape(-1)
+    return jax.jit(run)
+
+
 def _nn_min_dists_device(ps: np.ndarray, ts: np.ndarray) -> np.ndarray:
     """Exact nearest-neighbour Euclidean distance from each point in ``ps``
     to the set ``ts``, computed on the accelerator.
@@ -84,22 +103,6 @@ def _nn_min_dists_device(ps: np.ndarray, ts: np.ndarray) -> np.ndarray:
     (tested). Query points are processed in 512-row chunks (lax.map) so the
     (chunk, T) slab never exceeds ~128 MB at the largest bucket.
     """
-    import functools
-
-    @functools.lru_cache(maxsize=32)
-    def compiled(p_pad: int, t_pad: int):
-        def run(p, t, t2):
-            def one_chunk(pc):
-                # HIGHEST precision: the TPU fp32 matmul then reproduces the
-                # exact integer products (coords < 2^10 => d2 < 2^24)
-                d2 = ((pc * pc).sum(-1)[:, None] + t2[None, :]
-                      - 2.0 * jnp.dot(pc, t.T,
-                                      precision=jax.lax.Precision.HIGHEST))
-                return d2.min(1)
-            return jax.lax.map(one_chunk,
-                               p.reshape(p_pad // 512, 512, 3)).reshape(-1)
-        return jax.jit(run)
-
     n_p, n_t = len(ps), len(ts)
     p_pad, t_pad = _bucket(max(n_p, 512), 512), _bucket(n_t)
     p = np.zeros((p_pad, 3), np.float32)
@@ -109,7 +112,7 @@ def _nn_min_dists_device(ps: np.ndarray, ts: np.ndarray) -> np.ndarray:
     # padded target slots: +inf squared-norm keeps them out of every min
     t2 = (t * t).sum(-1)
     t2[n_t:] = np.inf
-    d2 = np.asarray(compiled(p_pad, t_pad)(jnp.asarray(p), jnp.asarray(t),
+    d2 = np.asarray(_nn_compiled(p_pad, t_pad)(jnp.asarray(p), jnp.asarray(t),
                                            jnp.asarray(t2)))[:n_p]
     # d2 is an exact integer in fp32; sqrt in fp64 on the host so the result
     # is bit-identical to the scipy EDT formulation
