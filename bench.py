@@ -232,12 +232,21 @@ def _train_bench_inner(cfg, bs: int = 1) -> dict:
         fallback = "no_pallas_train"
     states = {"state": state}
 
-    def _one(i):
-        states["state"], m = step(states["state"], batch, jax.random.fold_in(
-            jax.random.PRNGKey(3), i))
-        _ = float(m["loss"])  # forces completion of the enqueued step
+    # With gradient accumulation, alternate micro-steps differ in cost (the
+    # optimizer-apply lands only every k-th step), so a min over single
+    # micro-steps would select the cheap accumulate-only step and overstate
+    # throughput (ADVICE r4). Time one FULL accumulation cycle per iteration
+    # (k micro-steps, one readback) and report per-micro-step time.
+    k = int(getattr(cfg, "grad_accum_steps", 1) or 1)
 
-    dt = _timed_min(_one, n_iters=12)
+    def _one(i):
+        for j in range(k):
+            states["state"], m = step(
+                states["state"], batch,
+                jax.random.fold_in(jax.random.PRNGKey(3), i * k + j))
+        _ = float(m["loss"])  # forces completion of the enqueued cycle
+
+    dt = _timed_min(_one, n_iters=12) / k
 
     peak_tflops = float(os.environ.get("MEDSEG_PEAK_TFLOPS", "197"))
     suffix = "" if bs == 1 else f"_bs{bs}"

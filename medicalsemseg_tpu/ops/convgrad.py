@@ -143,7 +143,18 @@ def _dw27_pallas_eligible(x: jnp.ndarray) -> bool:
         return False
     voxels = int(np.prod(x.shape[:-1]))
     per_sample = int(np.prod(x.shape[1:-1]))
-    want = mode == "1" or voxels > _DW27_MAX_VOXELS
+    # Auto mode is batch-aware: the kernel only auto-enables in the measured
+    # win envelope (1.5M, chunk-bound] TOTAL voxels — i.e. where it runs
+    # UNCHUNKED. The chunked path (> chunk bound, e.g. bs8 96³ = 7.1M voxels)
+    # is a measured HBM OOM at the 4M chunk on the 15.75G v5e
+    # ("Used 15.94G of 15.75G", tools/ab_logs/bs8_full.log, round 4) and cost
+    # the round-4 driver bench its budget in fallback compiles; it stays
+    # forced-only (MEDSEG_DW27_PALLAS=1) until a chunk size that both fits
+    # and wins is demonstrated on hardware.
+    if mode == "1":
+        want = True
+    else:
+        want = _DW27_MAX_VOXELS < voxels <= _dw27_chunk_voxels()
     # a batch chunk of at least one sample must fit the chunk bound (a
     # single >4M-voxel sample has no chunkable axis here)
     return (want

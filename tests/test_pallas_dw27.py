@@ -107,15 +107,22 @@ def test_dw27_chunked_matches_unchunked(monkeypatch):
                                rtol=2e-6, atol=2e-5)
 
 
-def test_dw27_eligibility_spans_large_batches(monkeypatch):
-    """Above the XLA-taps crossover the kernel is now eligible for ANY batch
-    whose single sample fits the chunk bound (round-3 capped at 4M voxels,
-    excluding bs8/bs16 — the highest-throughput configs)."""
+def test_dw27_eligibility_is_batch_aware(monkeypatch):
+    """Auto mode enables the kernel only in the measured win envelope
+    (1.5M, chunk-bound] TOTAL voxels, i.e. where it runs UNCHUNKED: the
+    chunked bs8+ path is a measured HBM OOM at the 4M chunk (round 4,
+    tools/ab_logs/bs8_full.log) and cost the round-4 driver bench its
+    budget, so it is forced-only (MEDSEG_DW27_PALLAS=1)."""
     monkeypatch.setenv("MEDSEG_DW27_PALLAS", "auto")
-    big = jnp.ones((16, 96, 96, 96, 48), jnp.bfloat16)  # 14.2M voxels
-    assert convgrad._dw27_pallas_eligible(big)
+    bs4 = jnp.ones((4, 96, 96, 96, 48), jnp.bfloat16)  # 3.5M: auto-on
+    assert convgrad._dw27_pallas_eligible(bs4)
+    bs8 = jnp.ones((8, 96, 96, 96, 48), jnp.bfloat16)  # 7.1M: chunk needed
+    assert not convgrad._dw27_pallas_eligible(bs8)
     small = jnp.ones((1, 96, 96, 96, 48), jnp.bfloat16)  # 0.88M: XLA taps win
     assert not convgrad._dw27_pallas_eligible(small)
+    # forcing still enables the chunked path for hardware sweeps
+    monkeypatch.setenv("MEDSEG_DW27_PALLAS", "1")
+    assert convgrad._dw27_pallas_eligible(bs8)
 
 
 def test_dw27_applicability_gate():
