@@ -288,21 +288,25 @@ def grouped_padded_volumes(loader, n_group: int, multiple: int, cval: float,
         return vols, affs, samples, origs
 
     if policy == "sorted_max":
+        # sort on SHAPES only; the padded copies are built lazily per yielded
+        # group (one pad straight to the group max), so at most one group's
+        # padded volumes are live at a time rather than the whole fold's
+        # (~55 MB each — multi-GB at production sweep scale; ADVICE r4).
         items = []
         for sample in loader:
-            padded, orig = bucket_pad(sample.image, multiple, cval)
-            items.append((sample, padded, orig))
-        items.sort(key=lambda it: (int(np.prod(it[1].shape[:3])),
-                                   it[1].shape[:3]))
+            orig = sample.image.shape[:3]
+            bshape = tuple(orig[d] + (-orig[d]) % multiple for d in range(3))
+            items.append((sample, bshape, orig))
+        items.sort(key=lambda it: (int(np.prod(it[1])), it[1]))
         for i in range(0, len(items), n_group):
             chunk = items[i:i + n_group]
-            gmax = tuple(max(p.shape[d] for _, p, _ in chunk)
-                         for d in range(3))
+            gmax = tuple(max(b[d] for _, b, _ in chunk) for d in range(3))
             chunk = [
-                (s, np.pad(p, [(0, gmax[d] - p.shape[d]) for d in range(3)]
+                (s, np.pad(s.image,
+                           [(0, gmax[d] - s.image.shape[d]) for d in range(3)]
                            + [(0, 0)], constant_values=cval)
-                 if p.shape[:3] != gmax else p, o)
-                for s, p, o in chunk]
+                 if s.image.shape[:3] != gmax else s.image, o)
+                for s, _, o in chunk]
             yield make_group(chunk)
         return
     if policy != "bucket":

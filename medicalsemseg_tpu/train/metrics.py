@@ -75,14 +75,31 @@ def _bucket(n: int, lo: int = 2048) -> int:
 
 import functools
 
+# fp32 represents every integer < 2^24 exactly; the largest intermediate is
+# |p|^2 + |t|^2 <= 6 * maxcoord^2, so exactness needs maxcoord <= 1672.
+# Beyond that the bit-identical guarantee breaks (and a rounded-negative d2
+# would sqrt to NaN), so callers fall back to the host EDT path (ADVICE r4).
+_DEVICE_EXACT_MAX_COORD = 1672
+
+# the target axis is chunked so the (512, T) fp32 slab stays <= 128 MB even
+# for unbounded surface sizes (ADVICE r4); also bounds the shape-bucket space
+# to p-buckets x a handful of t-buckets, keeping _nn_compiled's LRU effective
+_T_CHUNK = 65536
+
+# distinct compiled shape buckets this process (VERDICT r4: is the 32-entry
+# LRU thrashed by a realistic 14-class eval? log via logging.DEBUG)
+_compile_stats = {"compiles": 0, "calls": 0}
+
 
 @functools.lru_cache(maxsize=32)
 def _nn_compiled(p_pad: int, t_pad: int):
     """Module-level cache: one traced/compiled program per shape bucket."""
+    _compile_stats["compiles"] += 1
+
     def run(p, t, t2):
         def one_chunk(pc):
             # HIGHEST precision: the TPU fp32 matmul then reproduces the
-            # exact integer products (coords < 2^10 => d2 < 2^24)
+            # exact integer products (coords <= 1672 => all terms < 2^24)
             d2 = ((pc * pc).sum(-1)[:, None] + t2[None, :]
                   - 2.0 * jnp.dot(pc, t.T,
                                   precision=jax.lax.Precision.HIGHEST))
@@ -97,26 +114,35 @@ def _nn_min_dists_device(ps: np.ndarray, ts: np.ndarray) -> np.ndarray:
     to the set ``ts``, computed on the accelerator.
 
     d2[i, j] = |p_i|^2 + |t_j|^2 - 2 p_i . t_j is a (P, 3) @ (3, T) matmul
-    shape — MXU work instead of the host EDT. Voxel coordinates are < 2^10,
-    so every intermediate is an integer < 2^24: fp32 arithmetic is EXACT and
-    the result equals the scipy distance-transform formulation bit-for-bit
-    (tested). Query points are processed in 512-row chunks (lax.map) so the
-    (chunk, T) slab never exceeds ~128 MB at the largest bucket.
+    shape — MXU work instead of the host EDT. Voxel coordinates are bounded
+    by _DEVICE_EXACT_MAX_COORD (checked by the caller), so every intermediate
+    is an integer < 2^24: fp32 arithmetic is EXACT and the result equals the
+    scipy distance-transform formulation bit-for-bit (tested). Query points
+    are processed in 512-row chunks (lax.map); targets beyond _T_CHUNK are
+    processed in host-level chunks whose partial mins combine exactly (a min
+    of mins), so the (512, T) slab never exceeds 512*65536*4 = 128 MB.
     """
     n_p, n_t = len(ps), len(ts)
-    p_pad, t_pad = _bucket(max(n_p, 512), 512), _bucket(n_t)
+    assert max(ps.max(initial=0), ts.max(initial=0)) <= _DEVICE_EXACT_MAX_COORD
+    p_pad = _bucket(max(n_p, 512), 512)
     p = np.zeros((p_pad, 3), np.float32)
     p[:n_p] = ps
-    t = np.zeros((t_pad, 3), np.float32)
-    t[:n_t] = ts
-    # padded target slots: +inf squared-norm keeps them out of every min
-    t2 = (t * t).sum(-1)
-    t2[n_t:] = np.inf
-    d2 = np.asarray(_nn_compiled(p_pad, t_pad)(jnp.asarray(p), jnp.asarray(t),
-                                           jnp.asarray(t2)))[:n_p]
+    d2 = np.full(p_pad, np.inf)
+    for t0 in range(0, n_t, _T_CHUNK):
+        tc = ts[t0:t0 + _T_CHUNK]
+        t_pad = _bucket(len(tc))
+        t = np.zeros((t_pad, 3), np.float32)
+        t[:len(tc)] = tc
+        # padded target slots: +inf squared-norm keeps them out of every min
+        t2 = (t * t).sum(-1)
+        t2[len(tc):] = np.inf
+        _compile_stats["calls"] += 1
+        part = np.asarray(_nn_compiled(p_pad, t_pad)(
+            jnp.asarray(p), jnp.asarray(t), jnp.asarray(t2)))
+        d2 = np.minimum(d2, part)
     # d2 is an exact integer in fp32; sqrt in fp64 on the host so the result
     # is bit-identical to the scipy EDT formulation
-    return np.sqrt(d2.astype(np.float64))
+    return np.sqrt(d2[:n_p].astype(np.float64))
 
 
 def hausdorff95(pred: np.ndarray, target: np.ndarray,
@@ -143,11 +169,23 @@ def hausdorff95(pred: np.ndarray, target: np.ndarray,
         if len(ps) == 0 or len(ts) == 0:
             out[ci] = np.nan if len(ps) == len(ts) else np.inf
             continue
+        # the device path is integer-exact only while coordinates stay
+        # <= 1672 (fp32 2^24 bound); an unusually long whole-body volume
+        # falls back to the host EDT rather than silently losing exactness.
+        # Shift both surfaces to their union bbox origin first — distances
+        # are translation-invariant and real CT organ extents then fit the
+        # bound even when the volume itself does not.
         if device:
-            d_pt = _nn_min_dists_device(ps, ts)
-            d_tp = _nn_min_dists_device(ts, ps)
-            out[ci] = max(np.percentile(d_pt, 95), np.percentile(d_tp, 95))
-            continue
+            lo = np.minimum(ps.min(axis=0), ts.min(axis=0))
+            ps_d = ps - lo
+            ts_d = ts - lo
+            if max(ps_d.max(), ts_d.max()) <= _DEVICE_EXACT_MAX_COORD:
+                d_pt = _nn_min_dists_device(ps_d, ts_d)
+                d_tp = _nn_min_dists_device(ts_d, ps_d)
+                out[ci] = max(np.percentile(d_pt, 95),
+                              np.percentile(d_tp, 95))
+                continue
+            # else: fall through to the exact host EDT below
         # crop to the union bounding box of both surfaces: the EDT distance
         # to a point set depends only on the set, and every query point (the
         # other surface) lies inside the box, so the cropped transform is
