@@ -41,8 +41,16 @@ grad_accum is off) the pass now:
 
 Numerics still match optax.chain(clip_by_global_norm(c), adamw(...))
 exactly (same bias correction, eps placement, decay-before-lr ordering);
-parity is pinned by tests/test_flat_optim.py for both modes. Opt-in via
---flat_optimizer until the A/B on real hardware shows a win.
+parity is pinned by tests/test_flat_optim.py for both modes.
+
+CONCLUSION (round 5, 2026-08-20): NEGATIVE RESULT — kept as an opt-in A/B
+hook only. Even with fused_apply the pass must ravel_pytree(grads) and
+unravel the new flat params every step: ~1.24 GB of pure shape-changing
+copy traffic (~1.8 ms at the 680 GB/s roofline), which cancels the per-leaf
+launch-overhead saving; measured bs1 179.4 ms vs ~175 per-leaf anchors and
+bs8 879.4 vs 876.3 (tools/ab_r4.jsonl). Donation cannot alias the copies
+(shapes differ). The per-leaf optax chain stays the default (NOTES.md
+round-5 log).
 """
 
 from __future__ import annotations

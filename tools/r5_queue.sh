@@ -41,4 +41,11 @@ run zoo python tools/zoo_train_ab.py
 run prodshapes python tools/val_production_shapes.py \
   > tools/prod_shapes_r5.jsonl
 
+# 7. single-compile bs16 OOM byte-line capture (ledger_r4 TODO at line 26)
+run bs16oom_full python tools/bs16_oom_probe.py full
+run bs16oom_mixed python tools/bs16_oom_probe.py mixed
+
+# 8. device-HD95 compile-count probe (VERDICT r4 item 10)
+run hd95count python tools/hd95_compile_count.py
+
 echo "=== r5 queue complete $(date)"
