@@ -24,4 +24,16 @@ export PYTHONPATH="$PWD:${PYTHONPATH:-}"
 run sw_fullvol python tools/sw_profile.py --full_volume --steps 2 --top 50 \
   > tools/ledger_r5_sw_fullvol.txt
 
+# 2. the VERDICT r4 item-1 "fits in budget" proof: time the EXACT default
+#    bench invocation the driver runs (SW + bs1 + bs4 + bs8 + bs16accum,
+#    no env overrides). Also warms the compile cache for every default leg
+#    so the driver's run at round end hits zero cold compiles.
+run default_bench_timed bash -c '
+  t0=$(date +%s)
+  MEDSEG_REQUIRE_TPU=1 python bench.py > /tmp/bench_r5_default_out.json
+  rc=$?
+  t1=$(date +%s)
+  echo "default bench rc=$rc wall=$((t1-t0))s"
+  cat /tmp/bench_r5_default_out.json'
+
 echo "=== r5 queue2 complete $(date)"
