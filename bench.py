@@ -299,13 +299,20 @@ def main():
 
     from medicalsemseg_tpu.infer.sliding_window import sliding_window_inference
 
+    # class-major logits path (decoders.py UnetOutBlock class_major): skips
+    # the lane-padded (sw, 96^3, 14) materialization + transpose in the SW
+    # blend. A/B knob for round 5; flip the default once it measures a win.
+    sw_cm = os.environ.get("MEDSEG_SW_CLASSMAJOR", "0") == "1"
+
     def _run(variables, vol, affine, salt):
         def predictor(model_in):
-            return model.apply(variables, model_in, deterministic=True)
+            return model.apply(variables, model_in, deterministic=True,
+                               class_major_logits=sw_cm)
 
         out = sliding_window_inference(
             vol + salt * 1e-4, affine, ROI, SW_BATCH, predictor,
-            overlap=OVERLAP, mode="gaussian", n_classes=cfg.output_dim)
+            overlap=OVERLAP, mode="gaussian", n_classes=cfg.output_dim,
+            class_major_probs=sw_cm)
         # scalar checksum forces completion through the host readback —
         # block_until_ready does not actually block on the axon tunnel
         return out.mean()

@@ -368,11 +368,20 @@ def sliding_window_inference(
     sigma_scale: float = 0.125,
     cval: float = 0.0,
     n_classes: Optional[int] = None,
+    class_major_probs: bool = False,
 ) -> jnp.ndarray:
     """inputs (B, D, H, W, C) -> blended logits (B, D, H, W, n_classes).
 
     ``predictor((windows, centers, affine))`` maps (N, *roi, C) windows to
     (N, *roi, n_classes). All shapes static; jit-safe end to end.
+
+    ``class_major_probs=True``: the predictor returns CLASS-MAJOR logits
+    (n_classes, N, *roi) — e.g. a model applied with class_major_logits=True
+    (models/decoders.py UnetOutBlock) — and the blend consumes them directly,
+    skipping both the (N, *roi, 14) lane-padded materialization (minor dim 14
+    pads to 128 lanes: 9.1x physical HBM bytes) and the class-major transpose
+    copy. Identical blend arithmetic; incompatible with mirror TTA (which
+    flips channels-last spatial axes).
     """
     b, d0, h0, w0, c = inputs.shape
     roi = tuple(roi_size)
@@ -430,8 +439,12 @@ def sliding_window_inference(
         """One sw-batch for one input volume (no batch dim)."""
         wins = jax.vmap(lambda s: gather_window(vol_b, s))(sbatch)  # (sw, *roi, c)
         aff_rep = jnp.broadcast_to(aff_b, (sw, 3))
-        probs = predictor((wins, cbatch, aff_rep))  # (sw, *roi, n_cls)
-        probs = probs.astype(jnp.float32).transpose(0, 4, 1, 2, 3)
+        probs = predictor((wins, cbatch, aff_rep))
+        if class_major_probs:  # (n_cls, sw, *roi): already blend-ready
+            assert probs.shape[:2] == (n_classes, sw), probs.shape
+            probs = probs.astype(jnp.float32)
+        else:  # (sw, *roi, n_cls) -> class-major for the blend
+            probs = probs.astype(jnp.float32).transpose(0, 4, 1, 2, 3)
 
         def accumulate(i, carry):
             out, cnt = carry
@@ -439,9 +452,10 @@ def sliding_window_inference(
             wgt = imap_cm * vbatch[i]
             idx = (0, s[0], s[1], s[2])
             nc = out.shape[0]
+            win_probs = probs[:, i] if class_major_probs else probs[i]
             cur_o = jax.lax.dynamic_slice(out, idx, (nc,) + roi)
             cur_c = jax.lax.dynamic_slice(cnt, idx, (1,) + roi)
-            out = jax.lax.dynamic_update_slice(out, cur_o + wgt * probs[i], idx)
+            out = jax.lax.dynamic_update_slice(out, cur_o + wgt * win_probs, idx)
             cnt = jax.lax.dynamic_update_slice(cnt, cur_c + wgt, idx)
             return out, cnt
 

@@ -131,16 +131,35 @@ class UnetrUpBlock(nn.Module):
 
 
 class UnetOutBlock(nn.Module):
-    """1x1x1 conv to class logits (MONAI UnetOutBlock; reference swin_unetr.py:130)."""
+    """1x1x1 conv to class logits (MONAI UnetOutBlock; reference swin_unetr.py:130).
+
+    ``class_major=True`` emits (n_classes, B, D, H, W) logits via a
+    transposed dot_general instead of channels-last + transpose. Motivation
+    (round 5, sliding-window inference): a channels-last (sw, 96^3, 14)
+    logits tensor lane-pads its minor dim 14 -> 128 in HBM (9.1x physical
+    bytes), and the Gaussian blender wants class-major anyway
+    (sliding_window.py run_batch_b) — producing class-major at the dot
+    avoids both the padded materialization and the transpose copy. Same
+    params, same contraction (K=48, f32 MXU accumulation), same bias-add
+    dtype; parity tested in tests/test_sliding_window.py."""
 
     out_channels: int
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        y = Conv3d(self.out_channels, (1, 1, 1), use_bias=True,
-                   dtype=self.dtype, name="conv")(x)
-        return y.astype(jnp.float32)  # logits always fp32 for the loss
+    def __call__(self, x: jnp.ndarray, class_major: bool = False) -> jnp.ndarray:
+        conv = Conv3d(self.out_channels, (1, 1, 1), use_bias=True,
+                      dtype=self.dtype, name="conv")
+        if not class_major:
+            return conv(x).astype(jnp.float32)  # logits fp32 for the loss
+        kernel, bias = conv(x, params_only=True)
+        k = kernel[0, 0, 0].astype(self.dtype)  # (C, n_classes)
+        # (n_classes,) x (B, D, H, W): class axis leads, spatial stays minor
+        y = jax.lax.dot_general(
+            k, x.astype(self.dtype),
+            (((0,), (x.ndim - 1,)), ((), ())))
+        y = y + bias.astype(self.dtype)[(...,) + (None,) * (x.ndim - 1)]
+        return y.astype(jnp.float32)
 
 
 class SwinUNETRDecoder(nn.Module):
@@ -161,7 +180,8 @@ class SwinUNETRDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, vol: jnp.ndarray, z: List[jnp.ndarray],
-                 deterministic: bool = False) -> jnp.ndarray:
+                 deterministic: bool = False,
+                 class_major_logits: bool = False) -> jnp.ndarray:
         h = self.hidden_size
         nl = self.num_layers
         assert len(z) == nl + 1
@@ -197,7 +217,8 @@ class SwinUNETRDecoder(nn.Module):
                        name=f"decoder{i + 1}")(x, enc[i], deterministic, fuse)
         x = up_cls_hi(h, upsample=self.patch_size, dtype=self.dtype,
                       name="decoder0")(x, enc0, deterministic, fuse)
-        return UnetOutBlock(self.out_channels, dtype=self.dtype, name="out")(x)
+        return UnetOutBlock(self.out_channels, dtype=self.dtype,
+                            name="out")(x, class_major_logits)
 
 
 class SwinUNETRCustom(nn.Module):
@@ -215,14 +236,15 @@ class SwinUNETRCustom(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x_in, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(self, x_in, deterministic: bool = True,
+                 class_major_logits: bool = False) -> jnp.ndarray:
         vol = x_in[0]
         z = self.encoder(x_in, deterministic=deterministic)
         return SwinUNETRDecoder(
             out_channels=self.out_channels, hidden_size=self.hidden_size,
             patch_size=self.patch_size, num_layers=len(z) - 1,
             remat=self.remat, dtype=self.dtype, name="decoder")(
-                vol, z, deterministic)
+                vol, z, deterministic, class_major_logits)
 
 
 class _LinearEmbed(nn.Module):

@@ -380,3 +380,21 @@ def test_mixed_remat_grads_match_none():
                               jax.tree_util.tree_leaves_with_path(g_mix)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-6,
                                    atol=1e-7, err_msg=jax.tree_util.keystr(k))
+
+
+def test_class_major_logits_parity():
+    """class_major_logits=True returns (n_cls, B, D, H, W) logits equal to
+    the transposed default output (decoders.py UnetOutBlock class_major)."""
+    cfg = tiny_cfg(model="nnFormerUNETR")
+    model = build_model(cfg)
+    x_in = make_inputs(cfg)
+    variables = jax.jit(lambda r, x: model.init(r, x, deterministic=True))(
+        jax.random.PRNGKey(0), x_in)
+    base = jax.jit(lambda v, x: model.apply(v, x, deterministic=True))(
+        variables, x_in)
+    cm = jax.jit(lambda v, x: model.apply(
+        v, x, deterministic=True, class_major_logits=True))(variables, x_in)
+    assert cm.shape == (cfg.output_dim,) + base.shape[:-1]
+    np.testing.assert_allclose(np.asarray(cm),
+                               np.moveaxis(np.asarray(base), -1, 0),
+                               rtol=1e-5, atol=1e-5)

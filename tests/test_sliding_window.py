@@ -225,3 +225,27 @@ def test_tta_stitched_output_matches_prob_domain_oracle():
     np.testing.assert_allclose(np.asarray(got[0]), want, rtol=1e-4, atol=1e-5)
     # blended output is a probability field
     np.testing.assert_allclose(np.asarray(got[0]).sum(-1), 1.0, atol=1e-4)
+
+
+def test_class_major_probs_matches_default():
+    """class_major_probs consumes (n_cls, N, *roi) predictor output and must
+    blend BIT-IDENTICALLY to the default channels-last path (same f32
+    arithmetic, only the materialized layout differs)."""
+    rng = np.random.default_rng(3)
+    vol = rng.normal(size=(1, 24, 20, 24, 2)).astype(np.float32)
+    roi = (16, 16, 16)
+    w = rng.normal(size=(2, 3)).astype(np.float32)
+
+    def predictor(model_in):
+        return model_in[0] @ jnp.asarray(w)
+
+    def predictor_cm(model_in):
+        return (model_in[0] @ jnp.asarray(w)).transpose(4, 0, 1, 2, 3)
+
+    base = sliding_window_inference(
+        jnp.asarray(vol), jnp.ones((1, 3)), roi, 3, predictor,
+        overlap=0.5, mode="gaussian", n_classes=3)
+    cm = sliding_window_inference(
+        jnp.asarray(vol), jnp.ones((1, 3)), roi, 3, predictor_cm,
+        overlap=0.5, mode="gaussian", n_classes=3, class_major_probs=True)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(cm))
