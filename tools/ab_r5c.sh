@@ -27,6 +27,12 @@ run() {
 }
 
 SW_ONLY="MEDSEG_BENCH_TRAIN=0 MEDSEG_BENCH_TRAIN_BS8=0 MEDSEG_BENCH_TRAIN_BS16=0"
+BS1_ONLY="MEDSEG_BENCH_SW=0 MEDSEG_BENCH_TRAIN=1 MEDSEG_BENCH_TRAIN_BS4=0 MEDSEG_BENCH_TRAIN_BS8=0 MEDSEG_BENCH_TRAIN_BS16=0"
+
+# ab_r4b's 5400s timeout expired mid-matrix (the bs8_fusedloss OOM ladder ate
+# ~50 min of doomed compiles); recover its two lost legs here.
+run bs1_fusedloss     $BS1_ONLY MEDSEG_FUSED_LOSS=1
+run anchor_bs1_post4b $BS1_ONLY
 
 run anchor_sw_r5c_a   $SW_ONLY
 run sw_classmajor     $SW_ONLY MEDSEG_SW_CLASSMAJOR=1
