@@ -34,6 +34,12 @@ BS1_ONLY="MEDSEG_BENCH_SW=0 MEDSEG_BENCH_TRAIN=1 MEDSEG_BENCH_TRAIN_BS4=0 MEDSEG
 run bs1_fusedloss     $BS1_ONLY MEDSEG_FUSED_LOSS=1
 run anchor_bs1_post4b $BS1_ONLY
 
+# GCViT pallas-train leg threw ValueError in the main zoo run before the
+# error-message capture landed; re-run with messages recorded.
+echo "=== zoo_gcvit_retry $(date +%H:%M:%S)" >&2
+PYTHONPATH="$PWD:${PYTHONPATH:-}" timeout 2700 python tools/zoo_train_ab.py \
+  GCViTUNETR >> tools/ab_logs/zoo_gcvit_retry.log 2>&1 || true
+
 run anchor_sw_r5c_a   $SW_ONLY
 run sw_classmajor     $SW_ONLY MEDSEG_SW_CLASSMAJOR=1
 run anchor_sw_r5c_b   $SW_ONLY

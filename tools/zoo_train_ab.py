@@ -167,6 +167,7 @@ def main():
                     rec[leg] = round(dt * 1e3, 1)
                 except Exception as e:  # noqa: BLE001 — record, move on
                     rec[leg + "_error"] = f"{type(e).__name__}"
+                    rec[leg + "_error_msg"] = str(e)[:400]
                 finally:
                     for k, v in snap.items():
                         if v is None:
