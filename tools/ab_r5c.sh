@@ -35,10 +35,19 @@ run bs1_fusedloss     $BS1_ONLY MEDSEG_FUSED_LOSS=1
 run anchor_bs1_post4b $BS1_ONLY
 
 # GCViT pallas-train leg threw ValueError in the main zoo run before the
-# error-message capture landed; re-run with messages recorded.
+# error-message capture landed; re-run with messages recorded. Then catch up
+# any zoo models the main run's 5400s timeout cut off (one at a time so a
+# slow compile only costs its own slot).
 echo "=== zoo_gcvit_retry $(date +%H:%M:%S)" >&2
 PYTHONPATH="$PWD:${PYTHONPATH:-}" timeout 2700 python tools/zoo_train_ab.py \
   GCViTUNETR >> tools/ab_logs/zoo_gcvit_retry.log 2>&1 || true
+for m in SegFormer3D FocalNetUNETR SwinUNETR_Official nnFormer; do
+  if ! grep -q "\"model\": \"$m\"" tools/zoo_train_ab.jsonl 2>/dev/null; then
+    echo "=== zoo_catchup $m $(date +%H:%M:%S)" >&2
+    PYTHONPATH="$PWD:${PYTHONPATH:-}" timeout 2700 python tools/zoo_train_ab.py \
+      "$m" >> "tools/ab_logs/zoo_catchup_$m.log" 2>&1 || true
+  fi
+done
 
 run anchor_sw_r5c_a   $SW_ONLY
 run sw_classmajor     $SW_ONLY MEDSEG_SW_CLASSMAJOR=1
