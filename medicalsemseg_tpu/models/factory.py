@@ -57,6 +57,21 @@ def _use_pallas(cfg: Config) -> bool:
         "cpu",)
 
 
+def _official_swin_fused_enabled() -> bool:
+    """The round-5 zoo A/B (tools/zoo_train_ab.jsonl) measured the fused
+    kernels at SwinUNETR_Official's constructor-window 7^3 shapes being
+    REJECTED by the TPU Mosaic backend compile (HTTP 500
+    tpu_compile_helper exit 1) in both directions, while every 6^3-window
+    model compiles and runs. Until a 7^3 kernel build is demonstrated on
+    hardware, the official model defaults to the XLA attention path
+    (measured: 557.9 ms 16-window fwd, 185.7 ms bs1 train — the model
+    stays fully functional). MEDSEG_OFFICIAL_FUSED=1 forces the fused
+    path back on for diagnosis."""
+    import os
+
+    return os.environ.get("MEDSEG_OFFICIAL_FUSED", "0") == "1"
+
+
 def _swin_encoder(cfg: Config, mlp_type: str) -> SwinEncoder3D:
     return SwinEncoder3D(
         patch_size=cfg.patch_size3(),
@@ -198,7 +213,8 @@ def build_model(cfg: Config) -> nn.Module:
             feature_size=cfg.hidden_dim, depths=tuple(cfg.depths),
             num_heads=tuple(cfg.num_heads),
             drop_path_rate=cfg.drop_path_rate,
-            use_pallas=_use_pallas(cfg), dtype=dtype)
+            use_pallas=_use_pallas(cfg) and _official_swin_fused_enabled(),
+            dtype=dtype)
 
     if name == "LRGFormerUNETR":
         # local/region/global joint-attention encoder (broken-dead upstream,

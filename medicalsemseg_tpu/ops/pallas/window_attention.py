@@ -747,7 +747,11 @@ def _global_kernel(x_ref, q_ref, wkv_ref, bkv_ref, wproj_ref, bproj_ref,
 
     outs = []
     for h in range(num_heads):
-        q = jnp.broadcast_to(qg[None, :, h * hd:(h + 1) * hd], (wpb, n, hd))
+        # two basic-index steps, NOT qg[None, :, a:b]: the combined
+        # (newaxis, slice, slice) tuple rewrites to a lax.gather, which
+        # Mosaic's TPU lowering rejects ("Shape mismatch in input, indices
+        # and output" — only 2D take_along_axis gathers are supported)
+        q = jnp.broadcast_to(qg[:, h * hd:(h + 1) * hd][None], (wpb, n, hd))
         k = kv[:, :, h * hd:(h + 1) * hd]
         v = kv[:, :, c + h * hd:c + (h + 1) * hd]
         attn = jax.lax.dot_general(

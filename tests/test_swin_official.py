@@ -123,3 +123,24 @@ def test_load_from_ssl_surgery_roundtrip():
         np.testing.assert_allclose(np.asarray(g),
                                    w.numpy().transpose(0, 2, 3, 4, 1),
                                    rtol=2e-3, atol=2e-3)
+
+
+def test_official_fused_default_off(monkeypatch):
+    """The fused kernels at the official model's 7^3 constructor windows are
+    a measured Mosaic backend-compile rejection on TPU (round-5 zoo A/B,
+    tools/zoo_train_ab.jsonl), so the factory must hand the official model
+    use_pallas=False by default even where other models would fuse —
+    MEDSEG_OFFICIAL_FUSED=1 re-enables for diagnosis."""
+    import medicalsemseg_tpu.models.factory as factory
+    from medicalsemseg_tpu.config import Config
+
+    monkeypatch.setattr(factory, "_use_pallas", lambda cfg: True)
+    cfg = Config(model="SwinUNETR_Official", vol_size=32, patch_size=2,
+                 hidden_dim=12, depths=(1, 1, 1, 1), num_heads=(2, 2, 2, 2),
+                 window_size=7, output_dim=3, compute_dtype="float32")
+
+    monkeypatch.delenv("MEDSEG_OFFICIAL_FUSED", raising=False)
+    assert factory.build_model(cfg).use_pallas is False
+
+    monkeypatch.setenv("MEDSEG_OFFICIAL_FUSED", "1")
+    assert factory.build_model(cfg).use_pallas is True

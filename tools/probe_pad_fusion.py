@@ -91,31 +91,36 @@ def main():
     def lrelu(x):
         return jnp.where(x > 0, x, 0.01 * x)
 
+    # inputs are jit ARGUMENTS, not closures: closed-over (16,96^3,48)
+    # arrays become 2.72 GB of captured constants that the remote-compile
+    # tunnel chokes on (the r5d run of this probe hung serializing them)
     cases = {
         # the decoder0 pattern: the producers' lrelu tails fuse into the
         # conv input pad (pad_maximum_fusion in the SW profile)
-        "base": lambda s: conv(
-            jnp.concatenate([lrelu(a_in + s), lrelu(b_in + s)], -1), w),
+        "base": lambda a, bb, w_, wa_, wb_, s: conv(
+            jnp.concatenate([lrelu(a + s), lrelu(bb + s)], -1), w_),
         # Cin-split: conv(concat(a,b), w) == conv(a, wa) + conv(b, wb)
-        "split": lambda s: (conv(lrelu(a_in + s), wa)
-                            + conv(lrelu(b_in + s), wb)),
+        "split": lambda a, bb, w_, wa_, wb_, s: (conv(lrelu(a + s), wa_)
+                                                 + conv(lrelu(bb + s), wb_)),
         # explicit pad + VALID conv (same program if the emitter's fused
         # pad is just a pad)
-        "prepad": lambda s: conv(
-            jnp.pad(jnp.concatenate([lrelu(a_in + s), lrelu(b_in + s)], -1),
+        "prepad": lambda a, bb, w_, wa_, wb_, s: conv(
+            jnp.pad(jnp.concatenate([lrelu(a + s), lrelu(bb + s)], -1),
                     ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0))),
-            w, padding="VALID"),
+            w_, padding="VALID"),
         # the padded-buffer write alone (conv-free floor of the fusion)
-        "padfloor": lambda s: jnp.pad(
-            jnp.concatenate([lrelu(a_in + s), lrelu(b_in + s)], -1),
+        "padfloor": lambda a, bb, w_, wa_, wb_, s: jnp.pad(
+            jnp.concatenate([lrelu(a + s), lrelu(bb + s)], -1),
             ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0))),
     }
 
     results = {}
     for name, fn in cases.items():
-        f = jax.jit(lambda s, fn=fn: fn(s).astype(jnp.float32).mean())
-        _ = float(f(jnp.bfloat16(0)))
-        dt = _timed_min(lambda i, f=f: float(f(jnp.bfloat16(i * 1e-3))))
+        f = jax.jit(lambda a, bb, w_, wa_, wb_, s, fn=fn: fn(
+            a, bb, w_, wa_, wb_, s).astype(jnp.float32).mean())
+        _ = float(f(a_in, b_in, w, wa, wb, jnp.bfloat16(0)))
+        dt = _timed_min(lambda i, f=f: float(
+            f(a_in, b_in, w, wa, wb, jnp.bfloat16(i * 1e-3))))
         results[name] = dt * 1e3
         print(f"{name:10s} {dt * 1e3:7.2f} ms", flush=True)
         if args.profile:
