@@ -32,7 +32,9 @@ def synth_labels(rng: np.random.Generator) -> np.ndarray:
     """13 spheres of geometrically-spread radii at random centers."""
     lab = np.zeros(SHAPE, np.int16)
     zz, yy, xx = np.ogrid[:SHAPE[0], :SHAPE[1], :SHAPE[2]]
-    radii = np.geomspace(3, 70, N_CLASSES - 1)
+    # largest radius must leave a valid center range in the SMALLEST dim
+    # (geomspace(3, 70) made rng.integers(71, 68) throw for dim 139)
+    radii = np.geomspace(3, min(SHAPE) // 2 - 4, N_CLASSES - 1)
     for c, r in enumerate(radii, start=1):
         ctr = [rng.integers(int(r) + 1, s - int(r) - 1) for s in SHAPE]
         m = ((zz - ctr[0]) ** 2 + (yy - ctr[1]) ** 2
